@@ -1,0 +1,221 @@
+"""Typed configuration for the whole pipeline.
+
+TPU-native counterpart of the reference's single-YAML config
+(``upstream:realtime_voice_conversion/config.py`` — see SURVEY.md §2a):
+sample rates, WORLD hop (``frame_period``), chunk sizes, per-stage
+``extra_time`` context windows, model/statistics paths, device settings.
+
+The crucial re-design: every quantity that was a *runtime* value in the
+reference (chunk length, context padding, buffer sizes) is here a *static*
+quantity so that every jitted function has exactly one shape.  The segment /
+stream algebra of the reference's L4 becomes static shape arithmetic
+(SURVEY.md §7 step 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import pathlib
+from typing import Any, Mapping
+
+try:  # pyyaml is present in the image, but keep a JSON fallback.
+    import yaml
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DspConfig:
+    """WORLD-equivalent analysis/synthesis parameters."""
+
+    sample_rate: int = 24000
+    frame_period_ms: float = 5.0          # hop between feature frames
+    fft_size: int = 1024                  # spectral envelope resolution
+    f0_floor: float = 71.0
+    f0_ceil: float = 800.0
+    # --- F0 estimator (YIN/CMND reformulation of DIO; SURVEY.md §7 hard (a))
+    f0_window: int = 640                  # correlation integration window W
+    cmnd_threshold: float = 0.14          # first-dip acceptance threshold
+    voicing_threshold: float = 0.30       # min CMND above this => unvoiced
+    # --- envelope (CheapTrick-equivalent: fixed window + f0-adaptive lifter)
+    envelope_floor_db: float = -120.0
+    # --- aperiodicity
+    num_ap_bands: int = 5
+    # --- mel-cepstrum
+    mcep_order: int = 59                  # mc has mcep_order+1 coefficients
+    mcep_alpha: float = 0.466             # frequency-warping factor @24kHz
+    # --- synthesis (harmonic + noise, DDSP-style; SURVEY.md §3.4 reborn)
+    max_harmonics: int = 128
+
+    @property
+    def hop(self) -> int:
+        return int(round(self.sample_rate * self.frame_period_ms / 1000.0))
+
+    @property
+    def spec_bins(self) -> int:
+        return self.fft_size // 2 + 1
+
+    @property
+    def lag_min(self) -> int:
+        return max(2, int(math.floor(self.sample_rate / self.f0_ceil)))
+
+    @property
+    def lag_max(self) -> int:
+        return int(math.ceil(self.sample_rate / self.f0_floor))
+
+    @property
+    def num_lags(self) -> int:
+        return self.lag_max - self.lag_min + 1
+
+    @property
+    def f0_frame_len(self) -> int:
+        """Analysis slice per F0 frame: window + max lag."""
+        return self.f0_window + self.lag_max
+
+    @property
+    def mc_dim(self) -> int:
+        return self.mcep_order + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class AcousticModelConfig:
+    """Stage-1 mel-cepstrum conversion net (yukarin AcousticConverter equiv)."""
+
+    hidden: int = 256
+    num_blocks: int = 6
+    kernel_size: int = 5                  # odd => symmetric receptive field
+    use_f0_input: bool = True
+
+    @property
+    def context_frames(self) -> int:
+        """One-sided receptive-field context in frames (halo size)."""
+        return self.num_blocks * (self.kernel_size // 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class SuperResolutionConfig:
+    """Stage-2 spectral super-resolution net (become-yukarin equiv)."""
+
+    base_channels: int = 32
+    num_scales: int = 3                   # U-Net depth over (time, freq)
+    kernel_size: int = 3
+
+    @property
+    def context_frames(self) -> int:
+        # Receptive field of the encoder/decoder conv stack along time.
+        # 2 convs per scale on both paths, dilation via pooling 2**s.
+        k = self.kernel_size // 2
+        rf = 0
+        for s in range(self.num_scales):
+            rf += 2 * k * (2 ** s) * 2
+        return rf
+
+
+@dataclasses.dataclass(frozen=True)
+class VocoderNNConfig:
+    """Neural vocoder (DDSP-style control net; BASELINE config #4)."""
+
+    hidden: int = 256
+    num_blocks: int = 4
+    kernel_size: int = 3
+
+    @property
+    def context_frames(self) -> int:
+        return self.num_blocks * (self.kernel_size // 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingConfig:
+    """Chunked-streaming geometry (reference: chunk sizes + extra_time)."""
+
+    chunk_ms: float = 100.0               # 0.1 s hops (BASELINE config #2)
+    extra_ms: float = 40.0                # halo context on each side
+
+    def chunk_samples(self, dsp: DspConfig) -> int:
+        n = int(round(dsp.sample_rate * self.chunk_ms / 1000.0))
+        hop = dsp.hop
+        return (n // hop) * hop           # align chunks to the frame grid
+
+    def chunk_frames(self, dsp: DspConfig) -> int:
+        return self.chunk_samples(dsp) // dsp.hop
+
+    def extra_frames(self, dsp: DspConfig) -> int:
+        return int(math.ceil(self.extra_ms / dsp.frame_period_ms))
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingConfig:
+    """Batched multi-stream serving (BASELINE config #5)."""
+
+    num_streams: int = 64
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    dsp: DspConfig = dataclasses.field(default_factory=DspConfig)
+    acoustic: AcousticModelConfig = dataclasses.field(
+        default_factory=AcousticModelConfig)
+    super_resolution: SuperResolutionConfig = dataclasses.field(
+        default_factory=SuperResolutionConfig)
+    vocoder_nn: VocoderNNConfig = dataclasses.field(
+        default_factory=VocoderNNConfig)
+    streaming: StreamingConfig = dataclasses.field(
+        default_factory=StreamingConfig)
+    serving: ServingConfig = dataclasses.field(default_factory=ServingConfig)
+    # Paths (reference: stage1/stage2 model + config + f0 statistics files)
+    stage1_params_path: str | None = None
+    stage2_params_path: str | None = None
+    vocoder_params_path: str | None = None
+    input_statistics_path: str | None = None
+    target_statistics_path: str | None = None
+    use_neural_vocoder: bool = False
+    seed: int = 0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Config":
+        def build(klass, sub):
+            names = {f.name for f in dataclasses.fields(klass)}
+            unknown = set(sub) - names
+            if unknown:
+                raise ValueError(
+                    f"unknown {klass.__name__} keys: {sorted(unknown)}")
+            return klass(**sub)
+
+        kw: dict[str, Any] = {}
+        nested = {
+            "dsp": DspConfig,
+            "acoustic": AcousticModelConfig,
+            "super_resolution": SuperResolutionConfig,
+            "vocoder_nn": VocoderNNConfig,
+            "streaming": StreamingConfig,
+            "serving": ServingConfig,
+        }
+        for key, value in d.items():
+            if key in nested:
+                kw[key] = build(nested[key], value)
+            else:
+                kw[key] = value
+        names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(kw) - names
+        if unknown:
+            raise ValueError(f"unknown Config keys: {sorted(unknown)}")
+        return cls(**kw)
+
+    @classmethod
+    def from_yaml(cls, path: str | pathlib.Path) -> "Config":
+        text = pathlib.Path(path).read_text()
+        if _HAVE_YAML:
+            data = yaml.safe_load(text) or {}
+        else:  # pragma: no cover
+            data = json.loads(text)
+        return cls.from_dict(data)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)

@@ -1,0 +1,344 @@
+"""Pure-NumPy golden reference for every DSP stage.
+
+This is the framework's *own* reference trajectory (SURVEY.md §4): since the
+upstream reference cannot be executed in this environment, correctness of the
+JAX/Pallas implementations is defined as ``allclose`` against this
+obviously-correct, loop-style float64 implementation.  Semantics mirror the
+upstream stages (SURVEY.md §2b): DIO/Harvest-equivalent F0 (reformulated as
+YIN/CMND so it vectorizes), CheapTrick-equivalent envelope (power spectrum +
+pitch-adaptive cepstral liftering), D4C-equivalent band aperiodicity
+(band-filtered lag-domain periodicity), SPTK-style mel-cepstrum (warped
+cosine least squares), and WORLD-synthesis-equivalent harmonic+noise
+overlap-add generation with explicit streaming carry.
+
+Every function here is intentionally simple NumPy; no JAX.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from realtime_yukarin_tpu.config import DspConfig
+from realtime_yukarin_tpu.dsp import primitives as prim
+
+
+# ---------------------------------------------------------------------------
+# Framing
+# ---------------------------------------------------------------------------
+
+def extract_centered_frames(x: np.ndarray, num_frames: int, hop: int,
+                            frame_len: int) -> np.ndarray:
+    """Frame i covers [i*hop - frame_len//2, ...), zero-padded out of range."""
+    out = np.zeros((num_frames, frame_len), dtype=np.float64)
+    n = len(x)
+    for i in range(num_frames):
+        start = i * hop - frame_len // 2
+        for j in range(frame_len):
+            idx = start + j
+            if 0 <= idx < n:
+                out[i, j] = x[idx]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# F0 estimation (YIN / CMND; DIO-equivalent role)
+# ---------------------------------------------------------------------------
+
+def _median3(a: float, b: float, c: float) -> float:
+    return max(min(a, b), min(max(a, b), c))
+
+
+def estimate_f0(x: np.ndarray, num_frames: int, cfg: DspConfig) -> np.ndarray:
+    hop, W = cfg.hop, cfg.f0_window
+    lmin, lmax = cfg.lag_min, cfg.lag_max
+    FL = cfg.f0_frame_len
+    frames = extract_centered_frames(x, num_frames, hop, FL)
+    fs = float(cfg.sample_rate)
+
+    f0_raw = np.zeros(num_frames)
+    for i in range(num_frames):
+        s = frames[i]
+        # squared difference function d(l) for l in [0, lmax]
+        d = np.zeros(lmax + 1)
+        for l in range(lmax + 1):
+            diff = s[:W] - s[l:l + W]
+            d[l] = np.dot(diff, diff)
+        e0 = np.dot(s[:W], s[:W])
+        if e0 / W < prim.SILENCE_POWER:
+            continue
+        # cumulative-mean-normalized difference
+        dprime = np.ones(lmax + 1)
+        csum = 0.0
+        for l in range(1, lmax + 1):
+            csum += d[l]
+            dprime[l] = d[l] * l / csum if csum > 0 else 1.0
+        # first dip below threshold (with local-min check), else global min
+        tau = -1
+        for l in range(lmin, lmax + 1):
+            nxt = dprime[l + 1] if l + 1 <= lmax else np.inf
+            if dprime[l] < cfg.cmnd_threshold and dprime[l] <= nxt:
+                tau = l
+                break
+        if tau < 0:
+            tau = lmin + int(np.argmin(dprime[lmin:lmax + 1]))
+        if dprime[tau] >= cfg.voicing_threshold:
+            continue
+        # parabolic refinement
+        t = float(tau)
+        if lmin < tau < lmax:
+            a, b, c = dprime[tau - 1], dprime[tau], dprime[tau + 1]
+            denom = a - 2.0 * b + c
+            if abs(denom) > 1e-12:
+                delta = 0.5 * (a - c) / denom
+                t = tau + float(np.clip(delta, -1.0, 1.0))
+        f0 = fs / t
+        if cfg.f0_floor <= f0 <= cfg.f0_ceil:
+            f0_raw[i] = f0
+
+    # 3-tap median smoothing (edge-replicated)
+    f0 = np.zeros_like(f0_raw)
+    for i in range(num_frames):
+        a = f0_raw[max(i - 1, 0)]
+        b = f0_raw[i]
+        c = f0_raw[min(i + 1, num_frames - 1)]
+        f0[i] = _median3(a, b, c)
+    return f0
+
+
+# ---------------------------------------------------------------------------
+# Spectral envelope (CheapTrick-equivalent)
+# ---------------------------------------------------------------------------
+
+def _rect_smooth(P: np.ndarray, half_width_bins: float) -> np.ndarray:
+    """Linear-domain rectangular smoothing with fractional, edge-clipped
+    window via cumulative sums (identical formulation in the JAX path)."""
+    K = len(P)
+    C = np.concatenate([[0.0], np.cumsum(P)])     # C[j] = sum(P[:j])
+
+    def S(t: float) -> float:
+        t = min(max(t, 0.0), float(K))
+        j = min(int(np.floor(t)), K - 1)
+        return C[j] + (t - j) * P[j]
+
+    out = np.zeros_like(P)
+    for k in range(K):
+        lo = min(max(k + 0.5 - half_width_bins, 0.0), float(K))
+        hi = min(max(k + 0.5 + half_width_bins, 0.0), float(K))
+        out[k] = (S(hi) - S(lo)) / max(hi - lo, 1e-9)
+    return out
+
+
+def spectral_envelope(x: np.ndarray, f0: np.ndarray, num_frames: int,
+                      cfg: DspConfig) -> np.ndarray:
+    """Power spectrum -> f0-adaptive linear smoothing (rect, full width
+    one harmonic spacing f0, CheapTrick-style) -> log -> f0-adaptive
+    cepstral lifter -> exp.  Full-width-f0 smoothing guarantees the window
+    always covers exactly one mainlobe of energy, so the log spectrum of a
+    harmonic signal is near-flat and the lifter is benign."""
+    N = cfg.fft_size
+    hop = cfg.hop
+    fs = float(cfg.sample_rate)
+    w = prim.hann(N)
+    frames = extract_centered_frames(x, num_frames, hop, N)
+    env = np.zeros((num_frames, cfg.spec_bins))
+    q = np.arange(N)
+    t_q = np.minimum(q, N - q) / fs      # symmetric quefrency in seconds
+    for i in range(num_frames):
+        P = np.abs(np.fft.rfft(frames[i] * w)) ** 2
+        f0_eff = f0[i] if f0[i] > 0 else prim.DEFAULT_F0
+        hw = max(f0_eff * N / (2.0 * fs), 0.5)    # half of full width f0
+        P = _rect_smooth(P, hw)
+        P = np.maximum(P, prim.POWER_FLOOR)
+        L = np.log(P)
+        c = np.fft.irfft(L)              # real cepstrum, length N
+        lift = np.sinc(f0_eff * t_q)     # np.sinc(x) = sin(pi x)/(pi x)
+        L_env = np.fft.rfft(c * lift).real
+        env[i] = np.exp(L_env)
+    return env
+
+
+# ---------------------------------------------------------------------------
+# Band aperiodicity (D4C-equivalent)
+# ---------------------------------------------------------------------------
+
+def _ap_fft_size(cfg: DspConfig) -> int:
+    n = 1
+    while n < cfg.f0_frame_len:
+        n *= 2
+    return n
+
+
+def band_aperiodicity(x: np.ndarray, f0: np.ndarray, num_frames: int,
+                      cfg: DspConfig) -> np.ndarray:
+    hop, W = cfg.hop, cfg.f0_window
+    FL = cfg.f0_frame_len
+    B = cfg.num_ap_bands
+    AP_N = _ap_fft_size(cfg)
+    fs = float(cfg.sample_rate)
+    masks = prim.ap_band_masks(cfg.sample_rate, B, AP_N)
+    frames = extract_centered_frames(x, num_frames, hop, FL)
+    ap = np.ones((num_frames, B))
+    for i in range(num_frames):
+        if f0[i] <= 0:
+            continue
+        lag = int(np.clip(round(fs / f0[i]), cfg.lag_min, cfg.lag_max))
+        s = np.zeros(AP_N)
+        s[:FL] = frames[i]
+        S = np.fft.rfft(s)
+        for b in range(B):
+            sb = np.fft.irfft(S * masks[b])
+            num = np.dot(sb[:W], sb[lag:lag + W])
+            e1 = np.dot(sb[:W], sb[:W])
+            e2 = np.dot(sb[lag:lag + W], sb[lag:lag + W])
+            p = num / np.sqrt(e1 * e2 + 1e-20)
+            ap[i, b] = np.sqrt(np.clip(1.0 - p, 1e-6, 1.0))
+    return ap
+
+
+# ---------------------------------------------------------------------------
+# Mel-cepstrum (SPTK-style role, warped-cosine least squares)
+# ---------------------------------------------------------------------------
+
+def encode_mcep(env: np.ndarray, cfg: DspConfig) -> np.ndarray:
+    _, A = prim.mcep_basis(cfg.spec_bins, cfg.mcep_order, cfg.mcep_alpha)
+    return np.log(np.maximum(env, prim.POWER_FLOOR)) @ A.T
+
+
+def decode_mcep(mc: np.ndarray, cfg: DspConfig) -> np.ndarray:
+    Bm, _ = prim.mcep_basis(cfg.spec_bins, cfg.mcep_order, cfg.mcep_alpha)
+    return np.exp(mc @ Bm.T)
+
+
+# ---------------------------------------------------------------------------
+# F0 statistics transform (yukarin F0Statistics equivalent)
+# ---------------------------------------------------------------------------
+
+def f0_statistics(f0: np.ndarray) -> tuple[float, float]:
+    voiced = f0[f0 > 0]
+    logs = np.log(voiced)
+    return float(logs.mean()), float(logs.std())
+
+
+def convert_f0(f0: np.ndarray, mean_in: float, std_in: float,
+               mean_out: float, std_out: float) -> np.ndarray:
+    out = np.zeros_like(f0)
+    v = f0 > 0
+    out[v] = np.exp((np.log(f0[v]) - mean_in) / max(std_in, 1e-6) * std_out
+                    + mean_out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Synthesis (harmonic + noise with explicit carry; WORLD-synthesis role)
+# ---------------------------------------------------------------------------
+
+def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
+               noise: np.ndarray, cfg: DspConfig,
+               phase0: float = 0.0,
+               noise_tail: np.ndarray | None = None):
+    """Generate ``F*hop`` samples from F+1 frames of controls.
+
+    Args:
+      f0:    [F+1] Hz, 0 = unvoiced.  Controls for sample n in
+             [i*hop, (i+1)*hop) interpolate between frames i and i+1.
+      env:   [F+1, spec_bins] power spectral envelope.
+      ap:    [F+1, num_ap_bands] band aperiodicity in [0, 1].
+      noise: [F, noise_bins, 2] gaussian drivers (re, im), unit variance per
+             component (so each complex driver has E|g|^2 = 2; the amplitude
+             convention below accounts for it).
+      phase0: fundamental phase carried in from the previous chunk.
+      noise_tail: [noise_fft - hop] OLA tail carried in (zeros if None).
+
+    Returns:
+      (wave [F*hop], phase_out, noise_tail_out)
+    """
+    F = len(f0) - 1
+    hop = cfg.hop
+    fs = float(cfg.sample_rate)
+    N = cfg.fft_size
+    K = cfg.spec_bins
+    H = cfg.max_harmonics
+    n_noise = prim.noise_fft_size(hop)
+    k_noise = n_noise // 2 + 1
+    assert env.shape == (F + 1, K) and ap.shape[0] == F + 1
+    assert noise.shape == (F, k_noise, 2)
+
+    wsumsq = prim.analysis_window_sumsq(N)
+    expand = prim.ap_expand_matrix(cfg.sample_rate, cfg.num_ap_bands, K)
+    noise_interp = prim.noise_spec_interp_matrix(N, hop)
+    w_noise = prim.noise_window(hop)
+    ola_norm = prim.noise_ola_norm(hop)
+
+    ap_full = ap @ expand.T                       # [F+1, K]
+    voiced = (f0 > 0).astype(np.float64)
+    f0_filled = np.where(f0 > 0, f0, prim.DEFAULT_F0)
+
+    # per-frame harmonic amplitudes [F+1, H]
+    h_idx = np.arange(1, H + 1)
+    amps = np.zeros((F + 1, H))
+    for i in range(F + 1):
+        freqs = h_idx * f0_filled[i]
+        pos = np.clip(freqs * N / fs, 0.0, K - 1.0)
+        lo = np.floor(pos).astype(int)
+        hi = np.minimum(lo + 1, K - 1)
+        t = pos - lo
+        e_h = env[i, lo] * (1 - t) + env[i, hi] * t
+        ap_h = ap_full[i, lo] * (1 - t) + ap_full[i, hi] * t
+        alias_ok = (freqs < prim.HARMONIC_NYQUIST_FRACTION * fs / 2.0)
+        # envelope at a harmonic is its mainlobe power averaged over the
+        # width-f0 smoothing window => amplitude a^2 = 4 E f0 / (fs W2)
+        amps[i] = np.sqrt(4.0 * np.maximum(e_h, 0.0)
+                          * f0_filled[i] / (fs * wsumsq)) \
+            * np.sqrt(np.clip(1.0 - ap_h ** 2, 0.0, 1.0)) \
+            * voiced[i] * alias_ok
+
+    # ---- harmonic branch: per-sample lerped controls, accumulated phase
+    T = F * hop
+    harm = np.zeros(T)
+    phase = phase0
+    for i in range(F):
+        frac = (np.arange(hop) + 1.0) / hop       # (0, 1] within the hop
+        f_inst = f0_filled[i] * (1 - frac) + f0_filled[i + 1] * frac
+        a_inst = amps[i][None, :] * (1 - frac)[:, None] \
+            + amps[i + 1][None, :] * frac[:, None]          # [hop, H]
+        dphi = 2.0 * np.pi * f_inst / fs
+        phi = phase + np.cumsum(dphi)                        # [hop]
+        harm[i * hop:(i + 1) * hop] = np.sum(
+            a_inst * np.sin(np.outer(phi, h_idx)), axis=1)
+        phase = phi[-1] % (2.0 * np.pi)
+
+    # ---- noise branch: per-frame shaped gaussian spectra, windowed OLA
+    acc = np.zeros(T + n_noise - hop)
+    if noise_tail is not None:
+        acc[:n_noise - hop] += noise_tail
+    for i in range(F):
+        e_noise = noise_interp @ env[i]                      # [k_noise]
+        ap_noise = noise_interp @ ap_full[i]
+        # target per-sample variance E*ap^2/wsumsq; irfft of A*g with
+        # g = (re + j*im)/sqrt(2) unit complex gives Var ~= A^2/n_noise.
+        A = np.sqrt(np.maximum(e_noise * ap_noise ** 2, 0.0)
+                    * n_noise / wsumsq)
+        g = (noise[i, :, 0] + 1j * noise[i, :, 1]) / np.sqrt(2.0)
+        spec = A * g
+        spec[0] = spec[0].real * np.sqrt(2.0)
+        spec[-1] = spec[-1].real * np.sqrt(2.0)
+        seg = np.fft.irfft(spec) * w_noise
+        acc[i * hop: i * hop + n_noise] += seg
+    norm = np.tile(ola_norm, T // hop + n_noise // hop)[:len(acc)]
+    noise_out = acc[:T] / norm[:T]
+    tail_out = acc[T:]
+
+    return harm + noise_out, phase % (2.0 * np.pi), tail_out
+
+
+# ---------------------------------------------------------------------------
+# Full analysis convenience (offline golden encode)
+# ---------------------------------------------------------------------------
+
+def analyze(x: np.ndarray, cfg: DspConfig):
+    num_frames = len(x) // cfg.hop
+    f0 = estimate_f0(x, num_frames, cfg)
+    env = spectral_envelope(x, f0, num_frames, cfg)
+    ap = band_aperiodicity(x, f0, num_frames, cfg)
+    mc = encode_mcep(env, cfg)
+    return dict(f0=f0, env=env, ap=ap, mc=mc)
