@@ -1,0 +1,110 @@
+"""F0 estimation — vectorized YIN/CMND (JAX).
+
+Plays the role of WORLD's Dio/Harvest + StoneMask (SURVEY.md §2b): the
+reference's branchy candidate-selection C++ is reformulated as fixed-shape
+array math (SURVEY.md §7 hard part (a)):
+
+  * the squared-difference function d(l) is computed for ALL lags at once
+    via FFT cross-correlation + running energies (Wiener-Khinchin style),
+  * the "first dip below threshold" search becomes a masked argmax,
+  * parabolic refinement plays StoneMask's role,
+  * a 3-tap median filter replaces Dio's multi-candidate voting.
+
+Semantics match ``golden.reference.estimate_f0`` allclose.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import DspConfig
+from realtime_yukarin_tpu.dsp import primitives as prim
+from realtime_yukarin_tpu.dsp.framing import extract_centered_frames, median3
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def difference_function(frames: jnp.ndarray, window: int, lag_max: int
+                        ) -> jnp.ndarray:
+    """d[l] = sum_{n<W} (x[n]-x[n+l])^2 for l in [0, lag_max], per row.
+
+    frames: [F, frame_len] with frame_len >= window + lag_max.
+    Uses  d(l) = e0 + e(l) - 2 c(l)  with c via FFT cross-correlation.
+    """
+    F, FL = frames.shape
+    # n + l <= window-1 + lag_max < frame_len, so padding to the next pow2
+    # of frame_len already makes the circular correlation linear.
+    P2 = _next_pow2(FL)
+    a = jnp.zeros((F, P2), frames.dtype).at[:, :window].set(
+        frames[:, :window])
+    b = jnp.zeros((F, P2), frames.dtype).at[:, :FL].set(frames)
+    c = jnp.fft.irfft(jnp.conj(jnp.fft.rfft(a, axis=1))
+                      * jnp.fft.rfft(b, axis=1), n=P2, axis=1)
+    c = c[:, : lag_max + 1]                                   # [F, L+1]
+    sq = jnp.concatenate([jnp.zeros((F, 1), frames.dtype),
+                          jnp.cumsum(frames * frames, axis=1)], axis=1)
+    lags = jnp.arange(lag_max + 1)
+    e = sq[:, lags + window] - sq[:, lags]                    # [F, L+1]
+    e0 = e[:, :1]
+    return jnp.maximum(e0 + e - 2.0 * c, 0.0)
+
+
+def cmnd(d: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative-mean-normalized difference; d'[0] = 1."""
+    F, L1 = d.shape
+    csum = jnp.cumsum(d[:, 1:], axis=1)
+    lags = jnp.arange(1, L1, dtype=d.dtype)
+    dp = jnp.where(csum > 0, d[:, 1:] * lags / csum, 1.0)
+    return jnp.concatenate([jnp.ones((F, 1), d.dtype), dp], axis=1)
+
+
+def estimate_f0(x: jnp.ndarray, num_frames: int, cfg: DspConfig
+                ) -> jnp.ndarray:
+    """[T] -> f0 [F] in Hz (0 = unvoiced). Matches the golden estimator."""
+    hop, W = cfg.hop, cfg.f0_window
+    lmin, lmax = cfg.lag_min, cfg.lag_max
+    fs = float(cfg.sample_rate)
+    frames = extract_centered_frames(x, num_frames, hop, cfg.f0_frame_len)
+
+    d = difference_function(frames, W, lmax)
+    dp = cmnd(d)                                             # [F, lmax+1]
+    e0 = jnp.sum(frames[:, :W] ** 2, axis=1)
+
+    # search range [lmin, lmax]
+    r = dp[:, lmin: lmax + 1]                                # [F, R]
+    R = r.shape[1]
+    nxt = jnp.concatenate(
+        [dp[:, lmin + 1: lmax + 1],
+         jnp.full((r.shape[0], 1), jnp.inf, r.dtype)], axis=1)
+    ok = (r < cfg.cmnd_threshold) & (r <= nxt)
+    first = jnp.argmax(ok, axis=1)                           # first True
+    fallback = jnp.argmin(r, axis=1)
+    tau_rel = jnp.where(ok.any(axis=1), first, fallback)
+    tau = tau_rel + lmin                                     # [F] int
+
+    dp_tau = jnp.take_along_axis(r, tau_rel[:, None], axis=1)[:, 0]
+
+    # parabolic refinement (only strictly inside the search range)
+    tm1 = jnp.take_along_axis(dp, jnp.maximum(tau - 1, 0)[:, None],
+                              axis=1)[:, 0]
+    tp1 = jnp.take_along_axis(dp, jnp.minimum(tau + 1, lmax)[:, None],
+                              axis=1)[:, 0]
+    denom = tm1 - 2.0 * dp_tau + tp1
+    delta = jnp.where(jnp.abs(denom) > 1e-12,
+                      0.5 * (tm1 - tp1) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    interior = (tau > lmin) & (tau < lmax)
+    t_ref = tau.astype(dp.dtype) + jnp.where(interior, delta, 0.0)
+
+    f0 = fs / t_ref
+    voiced = ((dp_tau < cfg.voicing_threshold)
+              & (e0 / W >= prim.SILENCE_POWER)
+              & (f0 >= cfg.f0_floor) & (f0 <= cfg.f0_ceil))
+    f0_raw = jnp.where(voiced, f0, 0.0)
+    return median3(f0_raw)

@@ -1,0 +1,38 @@
+"""Mel-cepstrum encode/decode (JAX) — SPTK mcep role as pure matmuls.
+
+The reference pipeline codes the spectral envelope as a mel-cepstrum
+(SURVEY.md §2b, yukarin's ``AcousticFeature.mc``) via SPTK's iterative
+solver.  TPU-first: a warped-cosine basis fit — encode is one matmul with a
+precomputed pseudo-inverse, decode is one matmul with the basis.  Both ride
+the MXU directly (SURVEY.md §7 step 2).
+
+Matches ``golden.reference.encode_mcep`` / ``decode_mcep`` allclose.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import DspConfig
+from realtime_yukarin_tpu.dsp import primitives as prim
+
+
+def _bases(cfg: DspConfig, dtype):
+    B, A = prim.mcep_basis(cfg.spec_bins, cfg.mcep_order, cfg.mcep_alpha)
+    return jnp.asarray(B, dtype), jnp.asarray(A, dtype)
+
+
+def encode_mcep(env: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
+    """[..., K] power envelope -> [..., M+1] mel-cepstrum."""
+    _, A = _bases(cfg, env.dtype)
+    logE = jnp.log(jnp.maximum(env, prim.POWER_FLOOR))
+    # small [.., K] x [K, M+1] matmul: full fp32 so TPU results stay
+    # allclose to the float64 golden reference
+    return jnp.matmul(logE, A.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def decode_mcep(mc: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
+    """[..., M+1] mel-cepstrum -> [..., K] smooth power envelope."""
+    B, _ = _bases(cfg, mc.dtype)
+    return jnp.exp(jnp.matmul(mc, B.T, precision=jax.lax.Precision.HIGHEST))

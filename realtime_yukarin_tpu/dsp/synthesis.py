@@ -1,0 +1,147 @@
+"""Waveform synthesis (JAX) — harmonic + noise with explicit carry.
+
+Role of WORLD's ``synthesis.cpp`` / ``synthesisrealtime.cpp`` (SURVEY.md
+§3.4): the C++ ring-buffer synthesizer's hidden state (excitation phase,
+overlap-add tails) becomes an explicit, donated pytree carry so streamed
+synthesis lives on-device across invocations (BASELINE north star).
+
+TPU-first reformulation: instead of placing impulse responses at
+data-dependent pitch marks (branchy, dynamic), synthesis is a coherent
+harmonic bank (fundamental phase integrated via cumsum; harmonic h phase =
+h * fundamental, exact under mod-2pi wrapping) plus gaussian noise shaped
+per frame in the rfft domain and overlap-added with an exact-COLA window.
+Everything is fixed-shape elementwise/FFT/matmul work.
+
+Matches ``golden.reference.synthesize`` allclose (same RNG inputs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import DspConfig
+from realtime_yukarin_tpu.dsp import primitives as prim
+from realtime_yukarin_tpu.dsp.aperiodicity import expand_aperiodicity
+from realtime_yukarin_tpu.dsp.framing import lerp_rows
+
+
+class SynthCarry(NamedTuple):
+    """On-device synthesis state carried across chunks."""
+    phase: jnp.ndarray        # [] fundamental phase (radians, wrapped)
+    noise_tail: jnp.ndarray   # [noise_fft - hop] OLA tail
+
+    @classmethod
+    def zeros(cls, cfg: DspConfig, dtype=jnp.float32) -> "SynthCarry":
+        n_noise = prim.noise_fft_size(cfg.hop)
+        return cls(phase=jnp.zeros((), dtype),
+                   noise_tail=jnp.zeros((n_noise - cfg.hop,), dtype))
+
+
+def harmonic_amplitudes(f0: jnp.ndarray, env: jnp.ndarray,
+                        ap_full: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
+    """Per-frame harmonic amplitudes [F', H] from controls [F', ...]."""
+    fs = float(cfg.sample_rate)
+    N = cfg.fft_size
+    K = cfg.spec_bins
+    wsumsq = prim.analysis_window_sumsq(N)
+    h_idx = jnp.arange(1, cfg.max_harmonics + 1, dtype=env.dtype)
+
+    voiced = (f0 > 0).astype(env.dtype)
+    f0f = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
+    freqs = h_idx[None, :] * f0f[:, None]                     # [F', H]
+    pos = jnp.clip(freqs * N / fs, 0.0, K - 1.0)
+    e_h = lerp_rows(env, pos)
+    ap_h = lerp_rows(ap_full, pos)
+    alias_ok = (freqs < prim.HARMONIC_NYQUIST_FRACTION * fs / 2.0
+                ).astype(env.dtype)
+    # envelope at a harmonic is mainlobe power averaged over the width-f0
+    # smoothing window => amplitude a^2 = 4 E f0 / (fs W2)  (golden parity)
+    return (jnp.sqrt(4.0 * jnp.maximum(e_h, 0.0)
+                     * f0f[:, None] / (fs * wsumsq))
+            * jnp.sqrt(jnp.clip(1.0 - ap_h ** 2, 0.0, 1.0))
+            * voiced[:, None] * alias_ok)
+
+
+def synthesize(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
+               noise: jnp.ndarray, cfg: DspConfig,
+               carry: SynthCarry | None = None
+               ) -> tuple[jnp.ndarray, SynthCarry]:
+    """F+1 frames of controls -> F*hop samples + next carry.
+
+    f0 [F+1], env [F+1, K], ap [F+1, B], noise [F, noise_bins, 2].
+    Controls for sample n in [i*hop, (i+1)*hop) interpolate frames i, i+1;
+    the final frame is the one-frame lookahead the streaming layer supplies
+    (SURVEY.md §2a extra_time, reborn as static halo).
+    """
+    Fp1 = f0.shape[0]
+    F = Fp1 - 1
+    hop = cfg.hop
+    fs = float(cfg.sample_rate)
+    n_noise = prim.noise_fft_size(hop)
+    dtype = env.dtype
+    if carry is None:
+        carry = SynthCarry.zeros(cfg, dtype)
+
+    ap_full = expand_aperiodicity(ap, cfg)                    # [F+1, K]
+    amps = harmonic_amplitudes(f0, env, ap_full, cfg)         # [F+1, H]
+    f0f = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
+
+    # ---- harmonic branch ------------------------------------------------
+    frac = (jnp.arange(hop, dtype=dtype) + 1.0) / hop         # (0, 1]
+    f_inst = (f0f[:-1, None] * (1.0 - frac)[None, :]
+              + f0f[1:, None] * frac[None, :])                # [F, hop]
+    cum = jnp.cumsum(2.0 * jnp.pi * f_inst / fs, axis=1)      # [F, hop]
+    two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
+
+    def step(phase, dphi_total):
+        nxt = jnp.mod(phase + dphi_total, two_pi)
+        return nxt, phase
+
+    phase_out, boundaries = jax.lax.scan(step, carry.phase, cum[:, -1])
+    phi = boundaries[:, None] + cum                            # [F, hop]
+
+    a_inst = (amps[:-1, None, :] * (1.0 - frac)[None, :, None]
+              + amps[1:, None, :] * frac[None, :, None])       # [F, hop, H]
+    h_idx = jnp.arange(1, cfg.max_harmonics + 1, dtype=dtype)
+    harm = jnp.einsum("fnh,fnh->fn", a_inst,
+                      jnp.sin(phi[:, :, None] * h_idx[None, None, :]),
+                      precision=jax.lax.Precision.HIGHEST)
+    harm = harm.reshape(F * hop)
+
+    # ---- noise branch ---------------------------------------------------
+    N = cfg.fft_size
+    wsumsq = prim.analysis_window_sumsq(N)
+    Wn = jnp.asarray(prim.noise_spec_interp_matrix(N, hop), dtype)
+    hi = jax.lax.Precision.HIGHEST
+    e_noise = jnp.matmul(env[:F], Wn.T, precision=hi)          # [F, k_noise]
+    ap_noise = jnp.matmul(ap_full[:F], Wn.T, precision=hi)
+    A = jnp.sqrt(jnp.maximum(e_noise * ap_noise ** 2, 0.0)
+                 * n_noise / wsumsq)
+    g = jax.lax.complex(noise[:, :, 0], noise[:, :, 1]) / jnp.sqrt(
+        jnp.asarray(2.0, dtype))
+    spec = A.astype(jnp.complex64) * g.astype(jnp.complex64)
+    root2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+    spec = spec.at[:, 0].set((spec[:, 0].real * root2).astype(jnp.complex64))
+    spec = spec.at[:, -1].set(
+        (spec[:, -1].real * root2).astype(jnp.complex64))
+    w_noise = jnp.asarray(prim.noise_window(hop), dtype)
+    seg = jnp.fft.irfft(spec, n=n_noise, axis=1) * w_noise[None, :]
+
+    # exact-COLA overlap-add via block shifting: n_noise = 4*hop, so block m
+    # of segment i lands on output frame i+m.
+    n_blocks = n_noise // hop
+    blocks = seg.reshape(F, n_blocks, hop)
+    acc = jnp.zeros((F + n_blocks - 1, hop), dtype)
+    for m in range(n_blocks):
+        acc = acc.at[m: m + F].add(blocks[:, m, :])
+    acc = acc.reshape(-1)                                      # [T + tail]
+    acc = acc.at[: n_noise - hop].add(carry.noise_tail)
+
+    T = F * hop
+    norm = jnp.tile(jnp.asarray(prim.noise_ola_norm(hop), dtype), F)
+    wave = harm + acc[:T] / norm
+    new_carry = SynthCarry(phase=phase_out, noise_tail=acc[T:])
+    return wave, new_carry

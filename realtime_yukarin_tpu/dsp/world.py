@@ -1,0 +1,56 @@
+"""Analysis/synthesis facade — the reference's ``Vocoder`` reborn.
+
+Counterpart of ``upstream:realtime_voice_conversion/yukarin_wrapper/
+vocoder.py`` (SURVEY.md §2a): ``Vocoder.encode(wave) -> AcousticFeature``
+and ``RealtimeVocoder.decode -> wave``, except both directions are pure
+jit-able JAX functions with static shapes, and the realtime synthesizer's
+hidden C++ state is the explicit ``SynthCarry`` pytree.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import DspConfig
+from realtime_yukarin_tpu.dsp.aperiodicity import band_aperiodicity
+from realtime_yukarin_tpu.dsp.envelope import spectral_envelope
+from realtime_yukarin_tpu.dsp.f0 import estimate_f0
+from realtime_yukarin_tpu.dsp.mcep import decode_mcep, encode_mcep
+from realtime_yukarin_tpu.dsp.synthesis import SynthCarry, synthesize
+
+
+class AcousticFeature(flax.struct.PyTreeNode):
+    """The feature bundle flowing between stages (yukarin AcousticFeature
+    role, SURVEY.md §2b): f0 [.., F], power envelope [.., F, K], band
+    aperiodicity [.., F, B], mel-cepstrum [.., F, M+1]."""
+
+    f0: jnp.ndarray
+    env: jnp.ndarray
+    ap: jnp.ndarray
+    mc: jnp.ndarray
+
+    @property
+    def voiced(self) -> jnp.ndarray:
+        return self.f0 > 0
+
+
+def analyze(wave: jnp.ndarray, num_frames: int, cfg: DspConfig
+            ) -> AcousticFeature:
+    """wave [T] -> AcousticFeature with F = num_frames frames.
+
+    The full WORLD-analysis-equivalent encode (Dio+StoneMask / CheapTrick /
+    D4C roles).  ``num_frames`` is static; callers derive it from the chunk
+    geometry so every shape is fixed under jit.
+    """
+    f0 = estimate_f0(wave, num_frames, cfg)
+    env = spectral_envelope(wave, f0, num_frames, cfg)
+    ap = band_aperiodicity(wave, f0, num_frames, cfg)
+    mc = encode_mcep(env, cfg)
+    return AcousticFeature(f0=f0, env=env, ap=ap, mc=mc)
+
+
+__all__ = [
+    "AcousticFeature", "analyze", "synthesize", "SynthCarry",
+    "encode_mcep", "decode_mcep",
+]

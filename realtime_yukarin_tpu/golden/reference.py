@@ -29,14 +29,12 @@ from realtime_yukarin_tpu.dsp import primitives as prim
 def extract_centered_frames(x: np.ndarray, num_frames: int, hop: int,
                             frame_len: int) -> np.ndarray:
     """Frame i covers [i*hop - frame_len//2, ...), zero-padded out of range."""
-    out = np.zeros((num_frames, frame_len), dtype=np.float64)
     n = len(x)
-    for i in range(num_frames):
-        start = i * hop - frame_len // 2
-        for j in range(frame_len):
-            idx = start + j
-            if 0 <= idx < n:
-                out[i, j] = x[idx]
+    starts = np.arange(num_frames) * hop - frame_len // 2
+    idx = starts[:, None] + np.arange(frame_len)[None, :]
+    valid = (idx >= 0) & (idx < n)
+    out = np.where(valid, np.asarray(x, np.float64)[np.clip(idx, 0, n - 1)],
+                   0.0)
     return out
 
 

@@ -1,0 +1,152 @@
+"""Golden-parity tests: JAX DSP stages vs. pure-NumPy reference.
+
+This is the framework's correctness contract (SURVEY.md §4, BASELINE.json
+"waveform/mel allclose per chunk"): every JAX stage must reproduce the
+obviously-correct float64 golden implementation within float32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.dsp import primitives as prim
+from realtime_yukarin_tpu.dsp.aperiodicity import band_aperiodicity
+from realtime_yukarin_tpu.dsp.envelope import spectral_envelope
+from realtime_yukarin_tpu.dsp.f0 import estimate_f0
+from realtime_yukarin_tpu.dsp.framing import extract_centered_frames
+from realtime_yukarin_tpu.dsp.mcep import decode_mcep, encode_mcep
+from realtime_yukarin_tpu.dsp.synthesis import SynthCarry, synthesize
+from realtime_yukarin_tpu.golden import reference as ref
+
+from conftest import make_test_signal
+
+SIGNALS = ["harmonic", "sweep", "noise", "speechlike"]
+
+
+def _frames(x, cfg):
+    return len(x) // cfg.hop
+
+
+def test_framing_matches_golden(dsp_cfg):
+    x = make_test_signal("sweep", 0.3, dsp_cfg.sample_rate)
+    F = _frames(x, dsp_cfg)
+    g = ref.extract_centered_frames(x, F, dsp_cfg.hop, dsp_cfg.fft_size)
+    j = extract_centered_frames(jnp.asarray(x, jnp.float32), F,
+                                dsp_cfg.hop, dsp_cfg.fft_size)
+    np.testing.assert_allclose(np.asarray(j), g, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", SIGNALS)
+def test_f0_matches_golden(dsp_cfg, kind):
+    x = make_test_signal(kind, 0.5, dsp_cfg.sample_rate)
+    F = _frames(x, dsp_cfg)
+    g = ref.estimate_f0(x, F, dsp_cfg)
+    j = np.asarray(estimate_f0(jnp.asarray(x, jnp.float32), F, dsp_cfg))
+    # voicing decisions may differ on a tiny fraction of borderline frames
+    both_voiced = (g > 0) & (j > 0)
+    agree = ((g > 0) == (j > 0)).mean()
+    assert agree > 0.98, f"voicing agreement {agree}"
+    if both_voiced.any():
+        err = np.abs(j[both_voiced] - g[both_voiced])
+        assert np.percentile(err, 95) < 1.0, f"f0 err p95 {err.max()}"
+
+
+@pytest.mark.parametrize("kind", ["harmonic", "sweep", "speechlike"])
+def test_envelope_matches_golden(dsp_cfg, kind):
+    x = make_test_signal(kind, 0.4, dsp_cfg.sample_rate)
+    F = _frames(x, dsp_cfg)
+    f0 = ref.estimate_f0(x, F, dsp_cfg)
+    g = ref.spectral_envelope(x, f0, F, dsp_cfg)
+    j = np.asarray(spectral_envelope(jnp.asarray(x, jnp.float32),
+                                     jnp.asarray(f0, jnp.float32), F,
+                                     dsp_cfg))
+    # compare in log domain (power spans many orders of magnitude)
+    np.testing.assert_allclose(np.log(j + 1e-12), np.log(g + 1e-12),
+                               rtol=0, atol=5e-2)
+
+
+@pytest.mark.parametrize("kind", ["harmonic", "sweep", "speechlike"])
+def test_aperiodicity_matches_golden(dsp_cfg, kind):
+    x = make_test_signal(kind, 0.4, dsp_cfg.sample_rate)
+    F = _frames(x, dsp_cfg)
+    f0 = ref.estimate_f0(x, F, dsp_cfg)
+    g = ref.band_aperiodicity(x, f0, F, dsp_cfg)
+    j = np.asarray(band_aperiodicity(jnp.asarray(x, jnp.float32),
+                                     jnp.asarray(f0, jnp.float32), F,
+                                     dsp_cfg))
+    np.testing.assert_allclose(j, g, rtol=0, atol=2e-2)
+
+
+def test_mcep_roundtrip_matches_golden(dsp_cfg):
+    x = make_test_signal("sweep", 0.4, dsp_cfg.sample_rate)
+    F = _frames(x, dsp_cfg)
+    f0 = ref.estimate_f0(x, F, dsp_cfg)
+    env = ref.spectral_envelope(x, f0, F, dsp_cfg)
+    g_mc = ref.encode_mcep(env, dsp_cfg)
+    j_mc = np.asarray(encode_mcep(jnp.asarray(env, jnp.float32), dsp_cfg))
+    np.testing.assert_allclose(j_mc, g_mc, rtol=0, atol=5e-3)
+    g_env = ref.decode_mcep(g_mc, dsp_cfg)
+    j_env = np.asarray(decode_mcep(jnp.asarray(g_mc, jnp.float32), dsp_cfg))
+    np.testing.assert_allclose(np.log(j_env), np.log(g_env), rtol=0,
+                               atol=2e-3)
+
+
+@pytest.mark.parametrize("kind", ["harmonic", "sweep", "speechlike"])
+def test_synthesis_matches_golden(dsp_cfg, kind):
+    x = make_test_signal(kind, 0.4, dsp_cfg.sample_rate)
+    F = _frames(x, dsp_cfg)
+    feats = ref.analyze(x, dsp_cfg)
+    f0 = np.concatenate([feats["f0"], feats["f0"][-1:]])
+    env = np.concatenate([feats["env"], feats["env"][-1:]])
+    ap = np.concatenate([feats["ap"], feats["ap"][-1:]])
+    rng = np.random.default_rng(7)
+    k_noise = prim.noise_fft_size(dsp_cfg.hop) // 2 + 1
+    noise = rng.standard_normal((F, k_noise, 2))
+
+    g_wave, g_phase, g_tail = ref.synthesize(f0, env, ap, noise, dsp_cfg)
+    j_wave, carry = synthesize(
+        jnp.asarray(f0, jnp.float32), jnp.asarray(env, jnp.float32),
+        jnp.asarray(ap, jnp.float32), jnp.asarray(noise, jnp.float32),
+        dsp_cfg)
+    scale = np.abs(g_wave).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(j_wave) / scale, g_wave / scale,
+                               rtol=0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(carry.noise_tail), g_tail,
+                               rtol=0, atol=1e-3 * scale)
+    # phases compared on the unit circle
+    np.testing.assert_allclose(
+        [np.sin(float(carry.phase)), np.cos(float(carry.phase))],
+        [np.sin(g_phase), np.cos(g_phase)], atol=2e-2)
+
+
+def test_synthesis_carry_continuity(dsp_cfg):
+    """Chunked synthesis (with carry) == one-shot synthesis, exactly."""
+    x = make_test_signal("sweep", 0.4, dsp_cfg.sample_rate)
+    F = _frames(x, dsp_cfg)
+    feats = ref.analyze(x, dsp_cfg)
+    f0 = np.concatenate([feats["f0"], feats["f0"][-1:]]).astype(np.float32)
+    env = np.concatenate([feats["env"], feats["env"][-1:]]).astype(
+        np.float32)
+    ap = np.concatenate([feats["ap"], feats["ap"][-1:]]).astype(np.float32)
+    rng = np.random.default_rng(3)
+    k_noise = prim.noise_fft_size(dsp_cfg.hop) // 2 + 1
+    noise = rng.standard_normal((F, k_noise, 2)).astype(np.float32)
+
+    full, _ = synthesize(jnp.asarray(f0), jnp.asarray(env), jnp.asarray(ap),
+                         jnp.asarray(noise), dsp_cfg)
+    full = np.asarray(full)
+
+    half = F // 2
+    carry = SynthCarry.zeros(dsp_cfg)
+    w1, carry = synthesize(jnp.asarray(f0[: half + 1]),
+                           jnp.asarray(env[: half + 1]),
+                           jnp.asarray(ap[: half + 1]),
+                           jnp.asarray(noise[:half]), dsp_cfg, carry)
+    w2, _ = synthesize(jnp.asarray(f0[half:]), jnp.asarray(env[half:]),
+                       jnp.asarray(ap[half:]), jnp.asarray(noise[half:]),
+                       dsp_cfg, carry)
+    chunked = np.concatenate([np.asarray(w1), np.asarray(w2)])
+    scale = np.abs(full).max() + 1e-9
+    np.testing.assert_allclose(chunked / scale, full / scale, rtol=0,
+                               atol=2e-3)
