@@ -1,0 +1,63 @@
+"""Offline file-to-file conversion CLI — ``upstream:check.py`` equivalent.
+
+Usage:
+    python -m realtime_yukarin_tpu.cli.convert \
+        --input_path in.wav --output_path out.wav \
+        [--config_path config.yaml] [--params_path params.msgpack] \
+        [--neural_vocoder] [--no_sr]
+
+SURVEY.md §3.2: the reference's check.py is the de-facto integration test —
+chunked file->file conversion through the same streaming stages.  Here the
+offline path is a single jitted device program (pipeline.offline_convert);
+the chunked-streaming path is exercised by ``cli.serve`` and tested
+equivalent to this one on the interior (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.models.voice_changer import (init_params,
+                                                       load_params)
+from realtime_yukarin_tpu.pipeline import offline_convert
+from realtime_yukarin_tpu.utils.audio_io import read_wav, write_wav
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--config_path", default=None)
+    p.add_argument("--params_path", default=None)
+    p.add_argument("--neural_vocoder", action="store_true")
+    p.add_argument("--no_sr", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
+    params = init_params(jax.random.key(cfg.seed), cfg)
+    params_path = args.params_path or cfg.stage1_params_path
+    if params_path:
+        params = load_params(params, params_path)
+
+    x, rate = read_wav(args.input_path, target_rate=cfg.dsp.sample_rate)
+    hop = cfg.dsp.hop
+    num_frames = len(x) // hop
+    x = x[: num_frames * hop]
+
+    y = offline_convert(params, jnp.asarray(x), jax.random.key(args.seed),
+                        cfg, num_frames, use_sr=not args.no_sr,
+                        use_neural_vocoder=(args.neural_vocoder
+                                            or cfg.use_neural_vocoder))
+    write_wav(args.output_path, np.asarray(y), cfg.dsp.sample_rate)
+    print(f"wrote {args.output_path}: {len(np.asarray(y))} samples "
+          f"@ {cfg.dsp.sample_rate} Hz")
+
+
+if __name__ == "__main__":
+    main()

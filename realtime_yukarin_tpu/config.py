@@ -106,13 +106,10 @@ class SuperResolutionConfig:
 
     @property
     def context_frames(self) -> int:
-        # Receptive field of the encoder/decoder conv stack along time.
-        # 2 convs per scale on both paths, dilation via pooling 2**s.
-        k = self.kernel_size // 2
-        rf = 0
-        for s in range(self.num_scales):
-            rf += 2 * k * (2 ** s) * 2
-        return rf
+        # One-sided time receptive field.  The U-Net downsamples only along
+        # frequency, so every conv contributes kernel_size//2 frames: stem,
+        # mid, head + 4 convs per scale (enc a/b, dec a/b).
+        return (3 + 4 * self.num_scales) * (self.kernel_size // 2)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,6 +65,35 @@ def harmonic_amplitudes(f0: jnp.ndarray, env: jnp.ndarray,
             * voiced[:, None] * alias_ok)
 
 
+def synthesis_controls(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
+                       cfg: DspConfig
+                       ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DSP-derived synthesis controls from acoustic features.
+
+    Returns (amps [F+1, H], noise_mag [F, k_noise], f0_filled [F+1]) — the
+    inputs of :func:`render`.  The neural vocoder stage (BASELINE config #4)
+    produces modified versions of these same controls.
+    """
+    F = f0.shape[0] - 1
+    hop = cfg.hop
+    N = cfg.fft_size
+    n_noise = prim.noise_fft_size(hop)
+    dtype = env.dtype
+
+    ap_full = expand_aperiodicity(ap, cfg)                    # [F+1, K]
+    amps = harmonic_amplitudes(f0, env, ap_full, cfg)         # [F+1, H]
+    f0f = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
+
+    wsumsq = prim.analysis_window_sumsq(N)
+    Wn = jnp.asarray(prim.noise_spec_interp_matrix(N, hop), dtype)
+    hi = jax.lax.Precision.HIGHEST
+    e_noise = jnp.matmul(env[:F], Wn.T, precision=hi)         # [F, k_noise]
+    ap_noise = jnp.matmul(ap_full[:F], Wn.T, precision=hi)
+    noise_mag = jnp.sqrt(jnp.maximum(e_noise * ap_noise ** 2, 0.0)
+                         * n_noise / wsumsq)
+    return amps, noise_mag, f0f
+
+
 def synthesize(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
                noise: jnp.ndarray, cfg: DspConfig,
                carry: SynthCarry | None = None
@@ -76,18 +105,27 @@ def synthesize(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
     the final frame is the one-frame lookahead the streaming layer supplies
     (SURVEY.md §2a extra_time, reborn as static halo).
     """
-    Fp1 = f0.shape[0]
-    F = Fp1 - 1
+    amps, noise_mag, f0f = synthesis_controls(f0, env, ap, cfg)
+    return render(amps, noise_mag, f0f, noise, cfg, carry)
+
+
+def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
+           noise: jnp.ndarray, cfg: DspConfig,
+           carry: SynthCarry | None = None
+           ) -> tuple[jnp.ndarray, SynthCarry]:
+    """Render a waveform from synthesis controls.
+
+    amps [F+1, H] harmonic amplitudes; noise_mag [F, k_noise] rfft-domain
+    noise magnitudes; f0f [F+1] filled instantaneous F0 (Hz, never 0);
+    noise [F, k_noise, 2] unit gaussians.
+    """
+    F = f0f.shape[0] - 1
     hop = cfg.hop
     fs = float(cfg.sample_rate)
     n_noise = prim.noise_fft_size(hop)
-    dtype = env.dtype
+    dtype = amps.dtype
     if carry is None:
         carry = SynthCarry.zeros(cfg, dtype)
-
-    ap_full = expand_aperiodicity(ap, cfg)                    # [F+1, K]
-    amps = harmonic_amplitudes(f0, env, ap_full, cfg)         # [F+1, H]
-    f0f = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
 
     # ---- harmonic branch ------------------------------------------------
     frac = (jnp.arange(hop, dtype=dtype) + 1.0) / hop         # (0, 1]
@@ -112,14 +150,7 @@ def synthesize(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
     harm = harm.reshape(F * hop)
 
     # ---- noise branch ---------------------------------------------------
-    N = cfg.fft_size
-    wsumsq = prim.analysis_window_sumsq(N)
-    Wn = jnp.asarray(prim.noise_spec_interp_matrix(N, hop), dtype)
-    hi = jax.lax.Precision.HIGHEST
-    e_noise = jnp.matmul(env[:F], Wn.T, precision=hi)          # [F, k_noise]
-    ap_noise = jnp.matmul(ap_full[:F], Wn.T, precision=hi)
-    A = jnp.sqrt(jnp.maximum(e_noise * ap_noise ** 2, 0.0)
-                 * n_noise / wsumsq)
+    A = noise_mag
     g = jax.lax.complex(noise[:, :, 0], noise[:, :, 1]) / jnp.sqrt(
         jnp.asarray(2.0, dtype))
     spec = A.astype(jnp.complex64) * g.astype(jnp.complex64)

@@ -1,0 +1,89 @@
+"""VoiceChanger — composition of both model stages + F0 transform.
+
+Counterpart of ``upstream:realtime_voice_conversion/yukarin_wrapper/
+voice_changer.py`` (SURVEY.md §2a, §3.1): composes the stage-1 acoustic
+converter, the log-linear F0 statistics transform, and the stage-2
+super-resolution into one feature->feature mapping.  Here the whole
+composition is a pure function of a params pytree, so it jits, shards, and
+differentiates as a unit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.serialization
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.dsp.mcep import decode_mcep, encode_mcep
+from realtime_yukarin_tpu.dsp.world import AcousticFeature
+from realtime_yukarin_tpu.models.acoustic import (AcousticNet,
+                                                  acoustic_inputs,
+                                                  convert_mc)
+from realtime_yukarin_tpu.models.super_resolution import (SRNet,
+                                                          refine_envelope)
+from realtime_yukarin_tpu.models.vocoder_nn import init_vocoder_params
+
+
+def init_params(key: jax.Array, cfg: Config, dtype=jnp.float32) -> dict:
+    """Initialize the full parameter pytree (both stages + neural vocoder +
+    F0 statistics as device scalars)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    d_in = cfg.dsp.mc_dim + (2 if cfg.acoustic.use_f0_input else 0)
+    stage1 = AcousticNet(cfg.acoustic, cfg.dsp.mc_dim, dtype).init(
+        k1, jnp.zeros((1, 8, d_in), jnp.float32))
+    stage2 = SRNet(cfg.super_resolution, cfg.dsp.spec_bins, dtype).init(
+        k2, jnp.zeros((1, 8, cfg.dsp.spec_bins), jnp.float32))
+    vocoder = init_vocoder_params(k3, cfg.vocoder_nn, cfg.dsp, dtype)
+    f0_stats = {
+        "src_mean": jnp.asarray(np.log(160.0), jnp.float32),
+        "src_std": jnp.asarray(0.25, jnp.float32),
+        "tgt_mean": jnp.asarray(np.log(160.0), jnp.float32),
+        "tgt_std": jnp.asarray(0.25, jnp.float32),
+    }
+    return {"stage1": stage1, "stage2": stage2, "vocoder": vocoder,
+            "f0_stats": f0_stats}
+
+
+def convert_f0_stats(f0: jnp.ndarray, stats: dict) -> jnp.ndarray:
+    voiced = f0 > 0
+    logf0 = jnp.log(jnp.maximum(f0, 1e-6))
+    out = jnp.exp((logf0 - stats["src_mean"])
+                  / jnp.maximum(stats["src_std"], 1e-6)
+                  * stats["tgt_std"] + stats["tgt_mean"])
+    return jnp.where(voiced, out, 0.0)
+
+
+def convert_features(params: dict, feat: AcousticFeature, cfg: Config,
+                     use_sr: bool = True, dtype=jnp.float32
+                     ) -> AcousticFeature:
+    """feature -> converted feature (SURVEY.md §3.1 convert_worker body):
+    F0 moment matching, stage-1 mc mapping, mc->envelope decode, stage-2
+    envelope super-resolution; aperiodicity passes through."""
+    f0c = convert_f0_stats(feat.f0, params["f0_stats"])
+    mc_c = convert_mc(params["stage1"], feat.mc, feat.f0, cfg.acoustic,
+                      cfg.dsp, dtype)
+    env_low = decode_mcep(mc_c, cfg.dsp)
+    if use_sr:
+        env_c = refine_envelope(params["stage2"], env_low,
+                                cfg.super_resolution, cfg.dsp, dtype)
+    else:
+        env_c = env_low
+    return AcousticFeature(f0=f0c, env=env_c, ap=feat.ap, mc=mc_c)
+
+
+# ---------------------------------------------------------------------------
+# Parameter (de)serialization — the reference loads Chainer .npz snapshots
+# (SURVEY.md §3.3); here params live in a single msgpack file via flax.
+# ---------------------------------------------------------------------------
+
+def save_params(params: dict, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+
+
+def load_params(template: dict, path: str) -> dict:
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())

@@ -1,0 +1,75 @@
+"""End-to-end conversion pipelines (offline path; BASELINE config #1).
+
+Counterpart of ``upstream:check.py`` (SURVEY.md §3.2): the golden path that
+runs encode -> convert -> decode.  Unlike the reference (three stream
+objects invoked sequentially in Python), the whole pipeline here is ONE
+jitted function: analysis, both model stages, F0 transform, and synthesis
+fuse into a single XLA program, so a full utterance never leaves the device
+between stages.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.dsp import primitives as prim
+from realtime_yukarin_tpu.dsp.synthesis import SynthCarry, synthesize
+from realtime_yukarin_tpu.dsp.world import AcousticFeature, analyze
+from realtime_yukarin_tpu.models.vocoder_nn import neural_vocode
+from realtime_yukarin_tpu.models.voice_changer import convert_features
+
+
+def _extend_one_frame(feat: AcousticFeature) -> AcousticFeature:
+    """Repeat the last frame: offline stand-in for the streaming layer's
+    one-frame synthesis lookahead."""
+    return AcousticFeature(
+        f0=jnp.concatenate([feat.f0, feat.f0[-1:]]),
+        env=jnp.concatenate([feat.env, feat.env[-1:]]),
+        ap=jnp.concatenate([feat.ap, feat.ap[-1:]]),
+        mc=jnp.concatenate([feat.mc, feat.mc[-1:]]),
+    )
+
+
+def noise_bins(cfg: Config) -> int:
+    return prim.noise_fft_size(cfg.dsp.hop) // 2 + 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "num_frames", "use_sr",
+                                    "use_neural_vocoder"))
+def offline_convert(params: dict, wave: jnp.ndarray, key: jax.Array,
+                    cfg: Config, num_frames: int, use_sr: bool = True,
+                    use_neural_vocoder: bool = False) -> jnp.ndarray:
+    """wave [T] -> converted wave [num_frames * hop], fully on-device."""
+    feat = analyze(wave, num_frames, cfg.dsp)
+    conv = convert_features(params, feat, cfg, use_sr=use_sr)
+    conv = _extend_one_frame(conv)
+    noise = jax.random.normal(key, (num_frames, noise_bins(cfg), 2),
+                              jnp.float32)
+    if use_neural_vocoder:
+        out, _ = neural_vocode(params["vocoder"], conv.f0, conv.env,
+                               conv.ap, conv.mc, noise, cfg.vocoder_nn,
+                               cfg.dsp)
+    else:
+        out, _ = synthesize(conv.f0, conv.env, conv.ap, noise, cfg.dsp)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
+def offline_analyze(wave: jnp.ndarray, cfg: Config, num_frames: int
+                    ) -> AcousticFeature:
+    return analyze(wave, num_frames, cfg.dsp)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def offline_synthesize(feat: AcousticFeature, key: jax.Array, cfg: Config
+                       ) -> jnp.ndarray:
+    ext = _extend_one_frame(feat)
+    F = feat.f0.shape[0]
+    noise = jax.random.normal(key, (F, noise_bins(cfg), 2), jnp.float32)
+    out, _ = synthesize(ext.f0, ext.env, ext.ap, noise, cfg.dsp)
+    return out

@@ -1,0 +1,137 @@
+"""Model-stage tests: shapes, identity-at-init, receptive-field contracts."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.dsp import primitives as prim
+from realtime_yukarin_tpu.dsp.synthesis import synthesis_controls
+from realtime_yukarin_tpu.dsp.world import AcousticFeature
+from realtime_yukarin_tpu.models.acoustic import convert_mc
+from realtime_yukarin_tpu.models.super_resolution import refine_envelope
+from realtime_yukarin_tpu.models.vocoder_nn import neural_vocoder_controls
+from realtime_yukarin_tpu.models.voice_changer import (convert_features,
+                                                       init_params,
+                                                       load_params,
+                                                       save_params)
+
+
+def _rand_features(cfg: Config, F: int, seed=0) -> AcousticFeature:
+    rng = np.random.default_rng(seed)
+    f0 = np.abs(rng.normal(160, 20, F)).astype(np.float32)
+    f0[rng.uniform(size=F) < 0.2] = 0.0
+    env = np.exp(rng.normal(0, 1, (F, cfg.dsp.spec_bins))).astype(np.float32)
+    ap = np.clip(rng.uniform(0, 1, (F, cfg.dsp.num_ap_bands)), 0.01,
+                 1).astype(np.float32)
+    mc = rng.normal(0, 1, (F, cfg.dsp.mc_dim)).astype(np.float32)
+    return AcousticFeature(f0=jnp.asarray(f0), env=jnp.asarray(env),
+                           ap=jnp.asarray(ap), mc=jnp.asarray(mc))
+
+
+def test_stage1_identity_at_init(cfg):
+    params = init_params(jax.random.key(0), cfg)
+    feat = _rand_features(cfg, 32)
+    mc_c = convert_mc(params["stage1"], feat.mc, feat.f0, cfg.acoustic,
+                      cfg.dsp)
+    np.testing.assert_allclose(np.asarray(mc_c), np.asarray(feat.mc),
+                               atol=1e-6)
+
+
+def test_stage2_identity_at_init(cfg):
+    params = init_params(jax.random.key(0), cfg)
+    feat = _rand_features(cfg, 32)
+    env_c = refine_envelope(params["stage2"], feat.env, cfg.super_resolution,
+                            cfg.dsp)
+    np.testing.assert_allclose(np.asarray(jnp.log(env_c)),
+                               np.asarray(jnp.log(feat.env)), atol=1e-5)
+
+
+def test_vocoder_identity_at_init(cfg):
+    params = init_params(jax.random.key(0), cfg)
+    feat = _rand_features(cfg, 33)
+    a0, n0, _ = synthesis_controls(feat.f0, feat.env, feat.ap, cfg.dsp)
+    a1, n1, _ = neural_vocoder_controls(params["vocoder"], feat.f0, feat.env,
+                                        feat.ap, feat.mc, cfg.vocoder_nn,
+                                        cfg.dsp)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n0), atol=1e-6)
+
+
+def test_convert_features_shapes(cfg):
+    params = init_params(jax.random.key(0), cfg)
+    feat = _rand_features(cfg, 40)
+    out = convert_features(params, feat, cfg)
+    assert out.f0.shape == feat.f0.shape
+    assert out.env.shape == feat.env.shape
+    assert out.ap.shape == feat.ap.shape
+    assert out.mc.shape == feat.mc.shape
+    # F0 stats transform keeps voicing decisions
+    np.testing.assert_array_equal(np.asarray(out.f0 > 0),
+                                  np.asarray(feat.f0 > 0))
+
+
+def test_stage1_receptive_field(cfg):
+    """Output frame t must not depend on inputs beyond context_frames away
+    — the contract the streaming halo relies on."""
+    params = init_params(jax.random.key(1), cfg)
+    # make weights non-trivial: perturb the head kernel
+    params = jax.tree.map(
+        lambda x: x + 0.01 * np.float32(1.0) if x.ndim >= 2 else x, params)
+    F = 64
+    feat = _rand_features(cfg, F, seed=1)
+    base = np.asarray(convert_mc(params["stage1"], feat.mc, feat.f0,
+                                 cfg.acoustic, cfg.dsp))
+    ctx = cfg.acoustic.context_frames
+    t_probe = F // 2
+    # perturb one frame far away (> ctx): probe must not change
+    mc2 = feat.mc.at[t_probe + ctx + 2].add(10.0)
+    out2 = np.asarray(convert_mc(params["stage1"], mc2, feat.f0,
+                                 cfg.acoustic, cfg.dsp))
+    np.testing.assert_allclose(out2[t_probe], base[t_probe], atol=1e-5)
+    # perturb within the receptive field: probe must change
+    mc3 = feat.mc.at[t_probe + ctx - 1].add(10.0)
+    out3 = np.asarray(convert_mc(params["stage1"], mc3, feat.f0,
+                                 cfg.acoustic, cfg.dsp))
+    assert np.abs(out3[t_probe] - base[t_probe]).max() > 1e-6
+
+
+def test_sr_receptive_field(cfg):
+    params = init_params(jax.random.key(2), cfg)
+    params = jax.tree.map(
+        lambda x: x + 0.01 * np.float32(1.0) if x.ndim >= 2 else x, params)
+    F = 64
+    feat = _rand_features(cfg, F, seed=2)
+    base = np.asarray(refine_envelope(params["stage2"], feat.env,
+                                      cfg.super_resolution, cfg.dsp))
+    ctx = cfg.super_resolution.context_frames
+    t_probe = F // 2
+    env2 = feat.env.at[t_probe + ctx + 2].mul(100.0)
+    out2 = np.asarray(refine_envelope(params["stage2"], env2,
+                                      cfg.super_resolution, cfg.dsp))
+    np.testing.assert_allclose(np.log(out2[t_probe]),
+                               np.log(base[t_probe]), atol=1e-5)
+
+
+def test_params_save_load_roundtrip(cfg, tmp_path):
+    params = init_params(jax.random.key(0), cfg)
+    path = str(tmp_path / "params.msgpack")
+    save_params(params, path)
+    params2 = load_params(init_params(jax.random.key(9), cfg), path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_offline_convert_end_to_end(cfg):
+    from realtime_yukarin_tpu.pipeline import offline_convert
+    params = init_params(jax.random.key(0), cfg)
+    fs = cfg.dsp.sample_rate
+    t = np.arange(fs // 2) / fs
+    x = (0.4 * np.sin(2 * np.pi * 160 * t)).astype(np.float32)
+    F = len(x) // cfg.dsp.hop
+    y = offline_convert(params, jnp.asarray(x), jax.random.key(1), cfg, F)
+    assert y.shape == (F * cfg.dsp.hop,)
+    assert np.isfinite(np.asarray(y)).all()
+    rms = float(jnp.sqrt((y ** 2).mean()))
+    assert 0.05 < rms < 1.0   # identity-ish conversion preserves energy
