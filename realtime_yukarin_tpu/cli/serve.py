@@ -1,0 +1,113 @@
+"""Realtime streaming conversion CLI — ``upstream:run.py`` equivalent.
+
+The reference captures mic audio via PyAudio and plays converted audio back,
+with three worker processes in between (SURVEY.md §3.1).  Headless
+TPU-native equivalent: raw float32 PCM flows in on stdin (or a file/FIFO)
+and out on stdout — `sox`/`ffmpeg`/a socket shim supplies the actual audio
+device on the client side.  The pipeline itself is the fused on-device
+streaming step; this loop only moves PCM and tracks latency metrics.
+
+Per-chunk wall-clock metrics (p50/p99) are printed to stderr at exit —
+the BASELINE.json latency metric, measured at the serving edge.
+
+Usage:
+    # simulated realtime from a wav file:
+    python -m realtime_yukarin_tpu.cli.serve --input_wav in.wav \
+        --output_wav out.wav [--realtime_factor 1.0]
+    # raw PCM pipe mode (float32 mono @ sample_rate):
+    arecord ... | python -m realtime_yukarin_tpu.cli.serve | aplay ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.models.voice_changer import (init_params,
+                                                       load_params)
+from realtime_yukarin_tpu.streaming.stream import VoiceChangerStream
+from realtime_yukarin_tpu.utils.audio_io import (read_raw_f32, read_wav,
+                                                 write_raw_f32, write_wav)
+
+
+def _metrics_report(lat_ms: list[float]) -> str:
+    if not lat_ms:
+        return "no chunks processed"
+    a = np.asarray(lat_ms)
+    return (f"chunks={len(a)} p50={np.percentile(a, 50):.2f}ms "
+            f"p99={np.percentile(a, 99):.2f}ms max={a.max():.2f}ms")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config_path", default=None)
+    p.add_argument("--params_path", default=None)
+    p.add_argument("--input_wav", default=None,
+                   help="simulated-realtime mode: read from wav")
+    p.add_argument("--output_wav", default=None)
+    p.add_argument("--realtime_factor", type=float, default=0.0,
+                   help=">0: sleep to simulate a live mic at this speed")
+    p.add_argument("--neural_vocoder", action="store_true")
+    p.add_argument("--no_sr", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
+    params = init_params(jax.random.key(cfg.seed), cfg)
+    if args.params_path:
+        params = load_params(params, args.params_path)
+
+    stream = VoiceChangerStream(params, cfg, use_sr=not args.no_sr,
+                                use_neural_vocoder=args.neural_vocoder,
+                                seed=args.seed)
+    S = stream.chunk_samples
+    fs = cfg.dsp.sample_rate
+    lat_ms: list[float] = []
+    outputs: list[np.ndarray] = []
+
+    print(f"[serve] chunk={S} samples ({1000 * S / fs:.0f} ms), "
+          f"algorithmic latency={stream.latency_samples} samples "
+          f"({1000 * stream.latency_samples / fs:.0f} ms)", file=sys.stderr)
+
+    def push(chunk: np.ndarray) -> None:
+        t0 = time.perf_counter()
+        stream.add(chunk)
+        y = stream.process()
+        lat_ms.append(1000 * (time.perf_counter() - t0))
+        if args.output_wav:
+            outputs.append(y)
+        else:
+            write_raw_f32(sys.stdout.buffer, y)
+
+    if args.input_wav:
+        x, _ = read_wav(args.input_wav, target_rate=fs)
+        n_chunks = len(x) // S
+        for k in range(n_chunks):
+            if args.realtime_factor > 0:
+                time.sleep(S / fs / args.realtime_factor)
+            push(x[k * S: (k + 1) * S])
+    else:
+        while True:
+            chunk = read_raw_f32(sys.stdin.buffer, S)
+            if chunk is None:
+                break
+            push(chunk)
+
+    tail = stream.flush()
+    if args.output_wav:
+        outputs.append(tail)
+        write_wav(args.output_wav, np.concatenate(outputs), fs)
+    else:
+        write_raw_f32(sys.stdout.buffer, tail)
+
+    print(f"[serve] {_metrics_report(lat_ms)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

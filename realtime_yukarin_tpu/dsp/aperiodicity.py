@@ -28,7 +28,7 @@ def _ap_fft_size(cfg: DspConfig) -> int:
 
 
 def band_aperiodicity(x: jnp.ndarray, f0: jnp.ndarray, num_frames: int,
-                      cfg: DspConfig) -> jnp.ndarray:
+                      cfg: DspConfig, center_offset: int = 0) -> jnp.ndarray:
     """[T], f0 [F] -> band aperiodicity [F, B] in (0, 1]."""
     hop, W = cfg.hop, cfg.f0_window
     FL = cfg.f0_frame_len
@@ -36,7 +36,7 @@ def band_aperiodicity(x: jnp.ndarray, f0: jnp.ndarray, num_frames: int,
     AP_N = _ap_fft_size(cfg)
     fs = float(cfg.sample_rate)
 
-    frames = extract_centered_frames(x, num_frames, hop, FL)
+    frames = extract_centered_frames(x, num_frames, hop, FL, center_offset)
     s = jnp.zeros((num_frames, AP_N), frames.dtype).at[:, :FL].set(frames)
     S = jnp.fft.rfft(s, axis=1)                               # [F, AP_N/2+1]
     masks = jnp.asarray(prim.ap_band_masks(cfg.sample_rate, B, AP_N),

@@ -21,11 +21,12 @@ from realtime_yukarin_tpu.dsp.framing import (extract_centered_frames, hann,
                                               rect_smooth_rows)
 
 
-def power_spectrogram(x: jnp.ndarray, num_frames: int, cfg: DspConfig
-                      ) -> jnp.ndarray:
+def power_spectrogram(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
+                      center_offset: int = 0) -> jnp.ndarray:
     """[T] -> |STFT|^2 [F, K], Hann window, frames centered at i*hop."""
     N = cfg.fft_size
-    frames = extract_centered_frames(x, num_frames, cfg.hop, N)
+    frames = extract_centered_frames(x, num_frames, cfg.hop, N,
+                                     center_offset)
     return jnp.abs(jnp.fft.rfft(frames * hann(N)[None, :], axis=1)) ** 2
 
 
@@ -49,5 +50,6 @@ def envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
 
 
 def spectral_envelope(x: jnp.ndarray, f0: jnp.ndarray, num_frames: int,
-                      cfg: DspConfig) -> jnp.ndarray:
-    return envelope_from_power(power_spectrogram(x, num_frames, cfg), f0, cfg)
+                      cfg: DspConfig, center_offset: int = 0) -> jnp.ndarray:
+    return envelope_from_power(
+        power_spectrogram(x, num_frames, cfg, center_offset), f0, cfg)

@@ -63,13 +63,14 @@ def cmnd(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.ones((F, 1), d.dtype), dp], axis=1)
 
 
-def estimate_f0(x: jnp.ndarray, num_frames: int, cfg: DspConfig
-                ) -> jnp.ndarray:
+def estimate_f0(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
+                center_offset: int = 0) -> jnp.ndarray:
     """[T] -> f0 [F] in Hz (0 = unvoiced). Matches the golden estimator."""
     hop, W = cfg.hop, cfg.f0_window
     lmin, lmax = cfg.lag_min, cfg.lag_max
     fs = float(cfg.sample_rate)
-    frames = extract_centered_frames(x, num_frames, hop, cfg.f0_frame_len)
+    frames = extract_centered_frames(x, num_frames, hop, cfg.f0_frame_len,
+                                     center_offset)
 
     d = difference_function(frames, W, lmax)
     dp = cmnd(d)                                             # [F, lmax+1]

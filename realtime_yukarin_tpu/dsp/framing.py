@@ -20,11 +20,14 @@ def hann(n: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def extract_centered_frames(x: jnp.ndarray, num_frames: int, hop: int,
-                            frame_len: int) -> jnp.ndarray:
-    """[..., T] -> [..., F, frame_len]; frame i starts at i*hop-frame_len//2,
-    zero-padded outside [0, T)."""
+                            frame_len: int, center_offset: int = 0
+                            ) -> jnp.ndarray:
+    """[..., T] -> [..., F, frame_len]; frame i is centered at
+    center_offset + i*hop, zero-padded outside [0, T).  The streaming layer
+    uses center_offset to address interior frames of its rolling buffer."""
     T = x.shape[-1]
-    starts = np.arange(num_frames) * hop - frame_len // 2
+    starts = (np.arange(num_frames) * hop + center_offset
+              - frame_len // 2)
     idx = starts[:, None] + np.arange(frame_len)[None, :]      # [F, L] host
     valid = jnp.asarray((idx >= 0) & (idx < T))
     gathered = jnp.take(x, jnp.asarray(np.clip(idx, 0, T - 1)), axis=-1)

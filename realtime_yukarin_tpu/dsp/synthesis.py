@@ -29,14 +29,22 @@ from realtime_yukarin_tpu.dsp.framing import lerp_rows
 
 
 class SynthCarry(NamedTuple):
-    """On-device synthesis state carried across chunks."""
+    """On-device synthesis state carried across chunks.
+
+    The fundamental phase resets to 0 at every unvoiced->voiced onset (see
+    golden.reference.synthesize), which makes the phase track — and hence
+    streamed output — a pure function of the F0 contour.  ``voiced_prev``
+    remembers the voicing of the frame preceding the next chunk.
+    """
     phase: jnp.ndarray        # [] fundamental phase (radians, wrapped)
+    voiced_prev: jnp.ndarray  # [] bool: was the previous frame voiced
     noise_tail: jnp.ndarray   # [noise_fft - hop] OLA tail
 
     @classmethod
     def zeros(cls, cfg: DspConfig, dtype=jnp.float32) -> "SynthCarry":
         n_noise = prim.noise_fft_size(cfg.hop)
         return cls(phase=jnp.zeros((), dtype),
+                   voiced_prev=jnp.zeros((), jnp.bool_),
                    noise_tail=jnp.zeros((n_noise - cfg.hop,), dtype))
 
 
@@ -91,7 +99,7 @@ def synthesis_controls(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
     ap_noise = jnp.matmul(ap_full[:F], Wn.T, precision=hi)
     noise_mag = jnp.sqrt(jnp.maximum(e_noise * ap_noise ** 2, 0.0)
                          * n_noise / wsumsq)
-    return amps, noise_mag, f0f
+    return amps, noise_mag, f0f, f0 > 0
 
 
 def synthesize(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
@@ -105,19 +113,19 @@ def synthesize(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
     the final frame is the one-frame lookahead the streaming layer supplies
     (SURVEY.md §2a extra_time, reborn as static halo).
     """
-    amps, noise_mag, f0f = synthesis_controls(f0, env, ap, cfg)
-    return render(amps, noise_mag, f0f, noise, cfg, carry)
+    amps, noise_mag, f0f, voiced = synthesis_controls(f0, env, ap, cfg)
+    return render(amps, noise_mag, f0f, voiced, noise, cfg, carry)
 
 
 def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
-           noise: jnp.ndarray, cfg: DspConfig,
+           voiced: jnp.ndarray, noise: jnp.ndarray, cfg: DspConfig,
            carry: SynthCarry | None = None
            ) -> tuple[jnp.ndarray, SynthCarry]:
     """Render a waveform from synthesis controls.
 
     amps [F+1, H] harmonic amplitudes; noise_mag [F, k_noise] rfft-domain
     noise magnitudes; f0f [F+1] filled instantaneous F0 (Hz, never 0);
-    noise [F, k_noise, 2] unit gaussians.
+    voiced [F+1] bool voicing flags; noise [F, k_noise, 2] unit gaussians.
     """
     F = f0f.shape[0] - 1
     hop = cfg.hop
@@ -134,11 +142,15 @@ def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
     cum = jnp.cumsum(2.0 * jnp.pi * f_inst / fs, axis=1)      # [F, hop]
     two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
 
-    def step(phase, dphi_total):
-        nxt = jnp.mod(phase + dphi_total, two_pi)
-        return nxt, phase
+    def step(state, x):
+        phase, vprev = state
+        dphi_total, v_i = x
+        boundary = jnp.where(v_i & vprev, phase, 0.0)
+        nxt = jnp.mod(boundary + dphi_total, two_pi)
+        return (nxt, v_i), boundary
 
-    phase_out, boundaries = jax.lax.scan(step, carry.phase, cum[:, -1])
+    (phase_out, vprev_out), boundaries = jax.lax.scan(
+        step, (carry.phase, carry.voiced_prev), (cum[:, -1], voiced[:-1]))
     phi = boundaries[:, None] + cum                            # [F, hop]
 
     a_inst = (amps[:-1, None, :] * (1.0 - frac)[None, :, None]
@@ -174,5 +186,6 @@ def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
     T = F * hop
     norm = jnp.tile(jnp.asarray(prim.noise_ola_norm(hop), dtype), F)
     wave = harm + acc[:T] / norm
-    new_carry = SynthCarry(phase=phase_out, noise_tail=acc[T:])
+    new_carry = SynthCarry(phase=phase_out, voiced_prev=vprev_out,
+                           noise_tail=acc[T:])
     return wave, new_carry

@@ -35,17 +35,17 @@ class AcousticFeature(flax.struct.PyTreeNode):
         return self.f0 > 0
 
 
-def analyze(wave: jnp.ndarray, num_frames: int, cfg: DspConfig
-            ) -> AcousticFeature:
+def analyze(wave: jnp.ndarray, num_frames: int, cfg: DspConfig,
+            center_offset: int = 0) -> AcousticFeature:
     """wave [T] -> AcousticFeature with F = num_frames frames.
 
     The full WORLD-analysis-equivalent encode (Dio+StoneMask / CheapTrick /
     D4C roles).  ``num_frames`` is static; callers derive it from the chunk
     geometry so every shape is fixed under jit.
     """
-    f0 = estimate_f0(wave, num_frames, cfg)
-    env = spectral_envelope(wave, f0, num_frames, cfg)
-    ap = band_aperiodicity(wave, f0, num_frames, cfg)
+    f0 = estimate_f0(wave, num_frames, cfg, center_offset)
+    env = spectral_envelope(wave, f0, num_frames, cfg, center_offset)
+    ap = band_aperiodicity(wave, f0, num_frames, cfg, center_offset)
     mc = encode_mcep(env, cfg)
     return AcousticFeature(f0=f0, env=env, ap=ap, mc=mc)
 

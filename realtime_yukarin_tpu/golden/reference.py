@@ -233,6 +233,7 @@ def convert_f0(f0: np.ndarray, mean_in: float, std_in: float,
 def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
                noise: np.ndarray, cfg: DspConfig,
                phase0: float = 0.0,
+               voiced_prev: bool = False,
                noise_tail: np.ndarray | None = None):
     """Generate ``F*hop`` samples from F+1 frames of controls.
 
@@ -245,10 +246,16 @@ def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
              component (so each complex driver has E|g|^2 = 2; the amplitude
              convention below accounts for it).
       phase0: fundamental phase carried in from the previous chunk.
+      voiced_prev: whether the frame before frame 0 was voiced.
       noise_tail: [noise_fft - hop] OLA tail carried in (zeros if None).
 
+    Phase determinism: the fundamental phase resets to 0 at every
+    unvoiced->voiced onset, so the phase track is a pure function of the F0
+    contour — this is what makes chunked-streaming output exactly equal to
+    offline output regardless of where the stream started.
+
     Returns:
-      (wave [F*hop], phase_out, noise_tail_out)
+      (wave [F*hop], phase_out, voiced_prev_out, noise_tail_out)
     """
     F = len(f0) - 1
     hop = cfg.hop
@@ -291,19 +298,23 @@ def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
             * voiced[i] * alias_ok
 
     # ---- harmonic branch: per-sample lerped controls, accumulated phase
+    # (reset to 0 whenever frame i is unvoiced or a voiced onset)
     T = F * hop
     harm = np.zeros(T)
     phase = phase0
+    vprev = bool(voiced_prev)
     for i in range(F):
+        boundary = phase if (f0[i] > 0 and vprev) else 0.0
         frac = (np.arange(hop) + 1.0) / hop       # (0, 1] within the hop
         f_inst = f0_filled[i] * (1 - frac) + f0_filled[i + 1] * frac
         a_inst = amps[i][None, :] * (1 - frac)[:, None] \
             + amps[i + 1][None, :] * frac[:, None]          # [hop, H]
         dphi = 2.0 * np.pi * f_inst / fs
-        phi = phase + np.cumsum(dphi)                        # [hop]
+        phi = boundary + np.cumsum(dphi)                     # [hop]
         harm[i * hop:(i + 1) * hop] = np.sum(
             a_inst * np.sin(np.outer(phi, h_idx)), axis=1)
         phase = phi[-1] % (2.0 * np.pi)
+        vprev = f0[i] > 0
 
     # ---- noise branch: per-frame shaped gaussian spectra, windowed OLA
     acc = np.zeros(T + n_noise - hop)
@@ -326,7 +337,7 @@ def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
     noise_out = acc[:T] / norm[:T]
     tail_out = acc[T:]
 
-    return harm + noise_out, phase % (2.0 * np.pi), tail_out
+    return harm + noise_out, phase % (2.0 * np.pi), vprev, tail_out
 
 
 # ---------------------------------------------------------------------------

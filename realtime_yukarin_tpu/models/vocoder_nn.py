@@ -67,9 +67,9 @@ def neural_vocoder_controls(params, f0: jnp.ndarray, env: jnp.ndarray,
     """DSP controls modulated by the control net.  All args frame-major
     with F+1 frames (the renderer's lookahead convention); mc [F+1, M+1].
 
-    Returns (amps', noise_mag', f0_filled) ready for ``render``.
+    Returns (amps', noise_mag', f0_filled, voiced) ready for ``render``.
     """
-    amps, noise_mag, f0f = synthesis_controls(f0, env, ap, dsp_cfg)
+    amps, noise_mag, f0f, voiced = synthesis_controls(f0, env, ap, dsp_cfg)
     k_noise = prim.noise_fft_size(dsp_cfg.hop) // 2 + 1
     net = VocoderControlNet(voc_cfg, dsp_cfg.max_harmonics, k_noise, dtype)
     x = vocoder_inputs(f0, mc, ap)
@@ -82,16 +82,16 @@ def neural_vocoder_controls(params, f0: jnp.ndarray, env: jnp.ndarray,
     # multiplicative corrections, ==1 at init (zero-init heads)
     amps = amps * jnp.exp(jnp.clip(log_h, -6.0, 6.0))
     noise_mag = noise_mag * jnp.exp(jnp.clip(log_n[:-1], -6.0, 6.0))
-    return amps, noise_mag, f0f
+    return amps, noise_mag, f0f, voiced
 
 
 def neural_vocode(params, f0, env, ap, mc, noise, voc_cfg: VocoderNNConfig,
                   dsp_cfg: DspConfig, carry: SynthCarry | None = None,
                   dtype=jnp.float32):
     """Full neural vocoder: controls -> shared renderer -> waveform."""
-    amps, noise_mag, f0f = neural_vocoder_controls(
+    amps, noise_mag, f0f, voiced = neural_vocoder_controls(
         params, f0, env, ap, mc, voc_cfg, dsp_cfg, dtype)
-    return render(amps, noise_mag, f0f, noise, dsp_cfg, carry)
+    return render(amps, noise_mag, f0f, voiced, noise, dsp_cfg, carry)
 
 
 def init_vocoder_params(key: jax.Array, voc_cfg: VocoderNNConfig,

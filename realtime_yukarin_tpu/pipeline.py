@@ -21,6 +21,7 @@ from realtime_yukarin_tpu.dsp.synthesis import SynthCarry, synthesize
 from realtime_yukarin_tpu.dsp.world import AcousticFeature, analyze
 from realtime_yukarin_tpu.models.vocoder_nn import neural_vocode
 from realtime_yukarin_tpu.models.voice_changer import convert_features
+from realtime_yukarin_tpu.streaming.pipeline import frame_noise
 
 
 def _extend_one_frame(feat: AcousticFeature) -> AcousticFeature:
@@ -48,8 +49,9 @@ def offline_convert(params: dict, wave: jnp.ndarray, key: jax.Array,
     feat = analyze(wave, num_frames, cfg.dsp)
     conv = convert_features(params, feat, cfg, use_sr=use_sr)
     conv = _extend_one_frame(conv)
-    noise = jax.random.normal(key, (num_frames, noise_bins(cfg), 2),
-                              jnp.float32)
+    # per-frame fold_in noise: identical scheme to the streaming path, so
+    # streamed and offline outputs agree exactly (tests/test_streaming.py)
+    noise = frame_noise(key, jnp.arange(num_frames), noise_bins(cfg))
     if use_neural_vocoder:
         out, _ = neural_vocode(params["vocoder"], conv.f0, conv.env,
                                conv.ap, conv.mc, noise, cfg.vocoder_nn,
@@ -70,6 +72,6 @@ def offline_synthesize(feat: AcousticFeature, key: jax.Array, cfg: Config
                        ) -> jnp.ndarray:
     ext = _extend_one_frame(feat)
     F = feat.f0.shape[0]
-    noise = jax.random.normal(key, (F, noise_bins(cfg), 2), jnp.float32)
+    noise = frame_noise(key, jnp.arange(F), noise_bins(cfg))
     out, _ = synthesize(ext.f0, ext.env, ext.ap, noise, cfg.dsp)
     return out

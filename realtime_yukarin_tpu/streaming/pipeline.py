@@ -1,0 +1,99 @@
+"""The jitted streaming step — the reference's worker pipeline reborn.
+
+SURVEY.md §3.1: the reference runs encode/convert/decode in three OS
+processes linked by queues.  TPU-native re-design (BASELINE north star):
+the whole per-chunk pipeline is ONE device program with a donated carry —
+analysis with halo, model stages, and stateful synthesis fuse into a single
+XLA executable, and the carry (rolling wave window, synth phase, OLA tail)
+never leaves HBM.  The host only feeds PCM in and reads PCM out.
+
+Noise determinism: each frame's gaussian drivers derive from
+``fold_in(key, global_frame_index)``, so streamed and offline synthesis use
+identical noise and the equivalence test is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.dsp.synthesis import synthesize
+from realtime_yukarin_tpu.dsp.world import AcousticFeature, analyze
+from realtime_yukarin_tpu.models.vocoder_nn import neural_vocode
+from realtime_yukarin_tpu.models.voice_changer import convert_features
+from realtime_yukarin_tpu.streaming.state import (StreamCarry,
+                                                  StreamGeometry, noise_bins)
+
+
+def frame_noise(key: jax.Array, frame_indices: jnp.ndarray, bins: int
+                ) -> jnp.ndarray:
+    """[F] global frame indices -> [F, bins, 2] unit gaussians, position-
+    deterministic (same frame always gets the same noise)."""
+
+    def one(i):
+        return jax.random.normal(jax.random.fold_in(key, i), (bins, 2),
+                                 jnp.float32)
+
+    return jax.vmap(one)(frame_indices)
+
+
+def _slice_frames(feat: AcousticFeature, start: int, count: int
+                  ) -> AcousticFeature:
+    """Static slice of the frame axis (start/count are Python ints)."""
+    return jax.tree.map(lambda a: a[start: start + count], feat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "use_sr", "use_neural_vocoder"),
+    donate_argnames=("carry",))
+def streaming_step(params: dict, carry: StreamCarry, chunk: jnp.ndarray,
+                   key: jax.Array, cfg: Config, use_sr: bool = True,
+                   use_neural_vocoder: bool = False
+                   ) -> tuple[jnp.ndarray, StreamCarry]:
+    """One chunk in, one chunk out (constant D-frame latency).
+
+    chunk: [chunk_samples] new input PCM.  Returns converted PCM of the
+    same length and the next carry.  The carry argument is donated: state
+    stays on-device, buffers are reused in place.
+    """
+    geo = StreamGeometry.from_config(cfg, use_sr, use_neural_vocoder)
+    hop = cfg.dsp.hop
+    Fc = geo.chunk_frames
+    mctx = geo.model_ctx
+
+    # 1. roll the wave buffer and append the new chunk
+    buf = jnp.concatenate([carry.wave_buf[geo.chunk_samples:], chunk])
+
+    # 2. analyze Fn frames (centered so frame 0 sits AH into the buffer)
+    feat = analyze(buf, geo.analysis_frames, cfg.dsp,
+                   center_offset=geo.buf_frame0_offset)
+
+    # 3. convert features (models see the full halo; trim to Fc+1 after)
+    conv = convert_features(params, feat, cfg, use_sr=use_sr)
+    conv = _slice_frames(conv, mctx, Fc + 1)
+
+    # 4. synthesize Fc frames with position-deterministic noise
+    out_frame0 = carry.frame_pos
+    noise = frame_noise(key, out_frame0 + jnp.arange(Fc), noise_bins(cfg))
+    if use_neural_vocoder:
+        out, synth_carry = neural_vocode(
+            params["vocoder"], conv.f0, conv.env, conv.ap, conv.mc, noise,
+            cfg.vocoder_nn, cfg.dsp, carry.synth)
+    else:
+        out, synth_carry = synthesize(conv.f0, conv.env, conv.ap, noise,
+                                      cfg.dsp, carry.synth)
+
+    new_carry = StreamCarry(wave_buf=buf, synth=synth_carry,
+                            frame_pos=out_frame0 + Fc)
+    return out, new_carry
+
+
+def init_stream(cfg: Config, use_sr: bool = True,
+                use_neural_vocoder: bool = False
+                ) -> tuple[StreamCarry, StreamGeometry]:
+    geo = StreamGeometry.from_config(cfg, use_sr, use_neural_vocoder)
+    return StreamCarry.init(cfg, geo), geo

@@ -104,7 +104,7 @@ def test_synthesis_matches_golden(dsp_cfg, kind):
     k_noise = prim.noise_fft_size(dsp_cfg.hop) // 2 + 1
     noise = rng.standard_normal((F, k_noise, 2))
 
-    g_wave, g_phase, g_tail = ref.synthesize(f0, env, ap, noise, dsp_cfg)
+    g_wave, g_phase, g_vprev, g_tail = ref.synthesize(f0, env, ap, noise, dsp_cfg)
     j_wave, carry = synthesize(
         jnp.asarray(f0, jnp.float32), jnp.asarray(env, jnp.float32),
         jnp.asarray(ap, jnp.float32), jnp.asarray(noise, jnp.float32),

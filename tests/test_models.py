@@ -51,8 +51,8 @@ def test_stage2_identity_at_init(cfg):
 def test_vocoder_identity_at_init(cfg):
     params = init_params(jax.random.key(0), cfg)
     feat = _rand_features(cfg, 33)
-    a0, n0, _ = synthesis_controls(feat.f0, feat.env, feat.ap, cfg.dsp)
-    a1, n1, _ = neural_vocoder_controls(params["vocoder"], feat.f0, feat.env,
+    a0, n0, _, _ = synthesis_controls(feat.f0, feat.env, feat.ap, cfg.dsp)
+    a1, n1, _, _ = neural_vocoder_controls(params["vocoder"], feat.f0, feat.env,
                                         feat.ap, feat.mc, cfg.vocoder_nn,
                                         cfg.dsp)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-6)

@@ -1,0 +1,117 @@
+"""Streaming correctness: streamed output == offline output (interior).
+
+SURVEY.md §4: "Streaming correctness test: chunked output == offline output
+on the overlap-trimmed interior" — the central contract of the whole
+streaming design (BASELINE config #2).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.models.voice_changer import init_params
+from realtime_yukarin_tpu.pipeline import offline_convert
+from realtime_yukarin_tpu.streaming.pipeline import init_stream, streaming_step
+from realtime_yukarin_tpu.streaming.segment import SegmentBuffer
+from realtime_yukarin_tpu.streaming.stream import VoiceChangerStream
+
+from conftest import make_test_signal
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(0), Config())
+
+
+def _stream_full(params, cfg, x, use_sr=True, use_nn=False, seed=0):
+    """Push x through the streaming path, return output aligned to input
+    timeline (latency removed)."""
+    stream = VoiceChangerStream(params, cfg, use_sr, use_nn, seed=seed)
+    S = stream.chunk_samples
+    assert len(x) % S == 0
+    outs = [stream.process() if False else None]
+    outs = []
+    for k in range(len(x) // S):
+        stream.add(x[k * S: (k + 1) * S])
+        outs.append(stream.process())
+    outs.append(stream.flush())
+    y = np.concatenate(outs)
+    lat = stream.latency_samples
+    return y[lat: lat + len(x)], stream
+
+
+@pytest.mark.parametrize("use_sr", [False, True])
+def test_streamed_equals_offline(params, cfg, use_sr):
+    x = make_test_signal("sweep", 1.0, cfg.dsp.sample_rate).astype(np.float32)
+    S = cfg.streaming.chunk_samples(cfg.dsp)
+    x = x[: (len(x) // S) * S]
+    F = len(x) // cfg.dsp.hop
+
+    offline = np.asarray(offline_convert(
+        params, jnp.asarray(x), jax.random.key(0), cfg, F, use_sr=use_sr))
+    streamed, stream = _stream_full(params, cfg, x, use_sr=use_sr)
+
+    # compare interior: skip model-context frames at both ends where offline
+    # zero-padding differs from streaming silence-features
+    geo = stream._geo
+    lo = (geo.model_ctx + 2) * cfg.dsp.hop
+    hi = (F - geo.model_ctx - 2) * cfg.dsp.hop
+    scale = np.abs(offline[lo:hi]).max() + 1e-9
+    np.testing.assert_allclose(streamed[lo:hi] / scale,
+                               offline[lo:hi] / scale, rtol=0, atol=2e-3)
+
+
+def test_streamed_equals_offline_neural_vocoder(params, cfg):
+    x = make_test_signal("harmonic", 0.5, cfg.dsp.sample_rate
+                         ).astype(np.float32)
+    S = cfg.streaming.chunk_samples(cfg.dsp)
+    x = x[: (len(x) // S) * S]
+    F = len(x) // cfg.dsp.hop
+    offline = np.asarray(offline_convert(
+        params, jnp.asarray(x), jax.random.key(0), cfg, F,
+        use_neural_vocoder=True))
+    streamed, stream = _stream_full(params, cfg, x, use_nn=True)
+    geo = stream._geo
+    lo = (geo.model_ctx + 2) * cfg.dsp.hop
+    hi = (F - geo.model_ctx - 2) * cfg.dsp.hop
+    scale = np.abs(offline[lo:hi]).max() + 1e-9
+    np.testing.assert_allclose(streamed[lo:hi] / scale,
+                               offline[lo:hi] / scale, rtol=0, atol=2e-3)
+
+
+def test_streaming_step_donation_and_shapes(params, cfg):
+    carry, geo = init_stream(cfg)
+    chunk = jnp.zeros(geo.chunk_samples, jnp.float32)
+    out, carry2 = streaming_step(params, carry, chunk, jax.random.key(0),
+                                 cfg)
+    assert out.shape == (geo.chunk_samples,)
+    assert carry2.wave_buf.shape == (geo.buf_samples,)
+    assert int(carry2.frame_pos) == -geo.delay_frames + geo.chunk_frames
+
+
+def test_silence_in_silence_out(params, cfg):
+    """Reference contract: silence produces (near-)silence, no NaNs."""
+    stream = VoiceChangerStream(params, cfg)
+    stream.add(np.zeros(stream.chunk_samples * 4, np.float32))
+    y = stream.process()
+    assert np.isfinite(y).all()
+    assert np.abs(y).max() < 1e-3
+
+
+def test_segment_buffer():
+    sb = SegmentBuffer()
+    sb.add(0, np.ones(5, np.float32))
+    sb.add(10, 2 * np.ones(5, np.float32))
+    w = sb.fetch(3, 10, extra=2)          # covers [1, 15)
+    expect = np.zeros(14, np.float32)
+    expect[:4] = 1.0                       # samples 1..4
+    expect[9:] = 2.0                       # samples 10..14
+    np.testing.assert_array_equal(w, expect)
+    assert sb.covered(0, 5)
+    assert not sb.covered(0, 12)
+    sb.remove(11)
+    assert sb.min_time == 11
+    np.testing.assert_array_equal(sb.fetch(11, 4), 2 * np.ones(4, np.float32))
