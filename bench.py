@@ -1,0 +1,99 @@
+"""Benchmark: full convert pipeline throughput + chunk latency on 1 chip.
+
+Prints ONE JSON line:
+  {"metric": "audio_seconds_per_s_per_chip", "value": N, "unit": "x_realtime",
+   "vs_baseline": N/100, ...extras}
+
+Baseline (BASELINE.md): the reference publishes no numbers; the driver-set
+north star is >100x realtime per chip at 24 kHz with <50 ms p50 chunk
+latency, so vs_baseline = value / 100.
+
+Measures the fused streaming step (analysis + both model stages + synthesis
+with donated carry):
+  * throughput: BatchedServer, device-resident chunks, N streams
+  * latency: single-stream streaming_step wall time per 100 ms chunk
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.models.voice_changer import init_params
+from realtime_yukarin_tpu.parallel.mesh import make_mesh
+from realtime_yukarin_tpu.parallel.serving import BatchedServer
+from realtime_yukarin_tpu.streaming.pipeline import init_stream, streaming_step
+
+
+def bench_throughput(params, cfg, num_streams: int, steps: int) -> float:
+    """Returns audio-seconds processed per wall second (one mesh)."""
+    mesh = make_mesh(model_parallel=1)
+    server = BatchedServer(params, cfg, num_streams=num_streams, mesh=mesh)
+    S = server.chunk_samples
+    rng = np.random.default_rng(0)
+    chunks = jax.device_put(
+        jnp.asarray(rng.standard_normal((num_streams, S)), jnp.float32),
+        server._chunk_sharding)
+    # warmup / compile
+    for _ in range(3):
+        out = server.step_device(chunks)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = server.step_device(chunks)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    audio_seconds = steps * num_streams * S / cfg.dsp.sample_rate
+    return audio_seconds / dt
+
+
+def bench_latency(params, cfg, iters: int) -> tuple[float, float]:
+    """Single-stream per-chunk wall latency (p50, p99) in ms."""
+    carry, geo = init_stream(cfg)
+    chunk = jnp.asarray(np.random.default_rng(1).standard_normal(
+        geo.chunk_samples), jnp.float32)
+    key = jax.random.key(0)
+    for _ in range(3):
+        out, carry = streaming_step(params, carry, chunk, key, Config())
+    out.block_until_ready()
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out, carry = streaming_step(params, carry, chunk, key, Config())
+        out.block_until_ready()
+        lat.append(1000 * (time.perf_counter() - t0))
+    a = np.asarray(lat)
+    return float(np.percentile(a, 50)), float(np.percentile(a, 99))
+
+
+def main() -> None:
+    cfg = Config()
+    params = init_params(jax.random.key(0), cfg)
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    num_streams = 64 if on_tpu else 8
+    steps = 50 if on_tpu else 5
+    iters = 50 if on_tpu else 5
+
+    throughput = bench_throughput(params, cfg, num_streams, steps)
+    p50, p99 = bench_latency(params, cfg, iters)
+
+    print(json.dumps({
+        "metric": "audio_seconds_per_s_per_chip",
+        "value": round(throughput, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(throughput / 100.0, 3),
+        "p50_chunk_latency_ms": round(p50, 2),
+        "p99_chunk_latency_ms": round(p99, 2),
+        "num_streams": num_streams,
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

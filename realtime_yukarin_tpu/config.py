@@ -42,7 +42,11 @@ class DspConfig:
     cmnd_threshold: float = 0.14          # first-dip acceptance threshold
     voicing_threshold: float = 0.30       # min CMND above this => unvoiced
     # --- envelope (CheapTrick-equivalent: fixed window + f0-adaptive lifter)
-    envelope_floor_db: float = -120.0
+    # relative floor: per-frame power is clamped to peak * 10^(db/10).
+    # Keeping the log dynamic range modest makes the envelope robust to
+    # float32 FFT noise on TPU (absolute floors amplify fp noise in silent
+    # bins into huge log-domain errors).
+    envelope_floor_db: float = -70.0
     # --- aperiodicity
     num_ap_bands: int = 5
     # --- mel-cepstrum

@@ -39,7 +39,12 @@ def envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
 
     hw = jnp.maximum(f0_eff * N / (2.0 * fs), 0.5)
     P = rect_smooth_rows(P, hw)
-    L = jnp.log(jnp.maximum(P, prim.POWER_FLOOR))
+    # relative per-frame floor: bounds the log dynamic range so float32
+    # FFT noise in silent bins cannot blow up the log-domain envelope
+    floor = jnp.maximum(
+        jnp.max(P, axis=1, keepdims=True)
+        * 10.0 ** (cfg.envelope_floor_db / 10.0), prim.POWER_FLOOR)
+    L = jnp.log(jnp.maximum(P, floor))
 
     c = jnp.fft.irfft(L.astype(jnp.complex64), n=N, axis=1)   # real cepstrum
     t_q = jnp.asarray(np.minimum(np.arange(N), N - np.arange(N)) / fs,

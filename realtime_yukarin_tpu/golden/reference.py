@@ -146,8 +146,9 @@ def spectral_envelope(x: np.ndarray, f0: np.ndarray, num_frames: int,
         f0_eff = f0[i] if f0[i] > 0 else prim.DEFAULT_F0
         hw = max(f0_eff * N / (2.0 * fs), 0.5)    # half of full width f0
         P = _rect_smooth(P, hw)
-        P = np.maximum(P, prim.POWER_FLOOR)
-        L = np.log(P)
+        floor = max(P.max() * 10.0 ** (cfg.envelope_floor_db / 10.0),
+                    prim.POWER_FLOOR)
+        L = np.log(np.maximum(P, floor))
         c = np.fft.irfft(L)              # real cepstrum, length N
         lift = np.sinc(f0_eff * t_q)     # np.sinc(x) = sin(pi x)/(pi x)
         L_env = np.fft.rfft(c * lift).real

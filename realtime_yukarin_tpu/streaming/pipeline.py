@@ -46,14 +46,11 @@ def _slice_frames(feat: AcousticFeature, start: int, count: int
     return jax.tree.map(lambda a: a[start: start + count], feat)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "use_sr", "use_neural_vocoder"),
-    donate_argnames=("carry",))
-def streaming_step(params: dict, carry: StreamCarry, chunk: jnp.ndarray,
-                   key: jax.Array, cfg: Config, use_sr: bool = True,
-                   use_neural_vocoder: bool = False
-                   ) -> tuple[jnp.ndarray, StreamCarry]:
+def streaming_step_impl(params: dict, carry: StreamCarry,
+                        chunk: jnp.ndarray, key: jax.Array, cfg: Config,
+                        use_sr: bool = True,
+                        use_neural_vocoder: bool = False
+                        ) -> tuple[jnp.ndarray, StreamCarry]:
     """One chunk in, one chunk out (constant D-frame latency).
 
     chunk: [chunk_samples] new input PCM.  Returns converted PCM of the
@@ -90,6 +87,11 @@ def streaming_step(params: dict, carry: StreamCarry, chunk: jnp.ndarray,
     new_carry = StreamCarry(wave_buf=buf, synth=synth_carry,
                             frame_pos=out_frame0 + Fc)
     return out, new_carry
+
+
+streaming_step = functools.partial(
+    jax.jit, static_argnames=("cfg", "use_sr", "use_neural_vocoder"),
+    donate_argnames=("carry",))(streaming_step_impl)
 
 
 def init_stream(cfg: Config, use_sr: bool = True,

@@ -28,12 +28,13 @@ class VoiceChangerStream:
     """
 
     def __init__(self, params: dict, cfg: Config, use_sr: bool = True,
-                 use_neural_vocoder: bool = False, seed: int = 0):
+                 use_neural_vocoder: bool = False, seed: int = 0,
+                 key: jax.Array | None = None):
         self._params = params
         self._cfg = cfg
         self._use_sr = use_sr
         self._use_nn = use_neural_vocoder
-        self._key = jax.random.key(seed)
+        self._key = key if key is not None else jax.random.key(seed)
         self._carry, self._geo = init_stream(cfg, use_sr, use_neural_vocoder)
         self._in = SegmentBuffer()
         self._in_pos = 0          # next input sample to consume

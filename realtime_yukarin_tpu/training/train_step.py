@@ -1,0 +1,124 @@
+"""pjit-sharded training step over the (data, model) mesh.
+
+The reference is inference-only; its training lives in yukarin /
+become-yukarin Chainer trainers (SURVEY.md §2b, §5 checkpoint row).  Here
+training is a first-class citizen of the same codebase: one optax/jit step
+that trains stage 1 (mc regression), stage 2 (log-envelope regression) and
+the neural vocoder (multi-resolution STFT through the differentiable
+renderer) jointly, with the batch sharded over 'data' and parameters
+sharded by the same ``model_shard_params`` rule serving uses — so training
+and serving exercise identical shardings/collectives (GSPMD inserts the
+gradient reductions).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.dsp.mcep import decode_mcep
+from realtime_yukarin_tpu.dsp.synthesis import render
+from realtime_yukarin_tpu.models.acoustic import convert_mc
+from realtime_yukarin_tpu.models.super_resolution import refine_envelope
+from realtime_yukarin_tpu.models.vocoder_nn import neural_vocoder_controls
+from realtime_yukarin_tpu.parallel.mesh import (model_shard_params,
+                                                shard_batch_pytree)
+from realtime_yukarin_tpu.training import losses
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+class Batch(NamedTuple):
+    """One training batch of paired source/target utterance features.
+
+    All frame-major arrays carry F+1 frames (renderer lookahead convention).
+    """
+    f0_src: jnp.ndarray       # [B, F+1]
+    mc_src: jnp.ndarray       # [B, F+1, M+1]
+    ap_src: jnp.ndarray       # [B, F+1, Bap]
+    f0_tgt: jnp.ndarray       # [B, F+1]
+    mc_tgt: jnp.ndarray       # [B, F+1, M+1]
+    env_tgt: jnp.ndarray      # [B, F+1, K]
+    wave_tgt: jnp.ndarray     # [B, F*hop]
+    noise: jnp.ndarray        # [B, F, k_noise, 2]
+
+
+def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+    return optax.chain(optax.clip_by_global_norm(1.0),
+                       optax.adamw(lr, weight_decay=1e-5))
+
+
+def loss_fn(params: dict, batch: Batch, cfg: Config) -> tuple[jnp.ndarray,
+                                                              dict]:
+    # stage 1: source mc -> target mc
+    mc_pred = convert_mc(params["stage1"], batch.mc_src, batch.f0_src,
+                         cfg.acoustic, cfg.dsp)
+    l_mc = losses.mc_l1(mc_pred, batch.mc_tgt)
+
+    # stage 2: decoded low-res envelope -> full target envelope
+    env_low = decode_mcep(mc_pred, cfg.dsp)
+    env_pred = refine_envelope(params["stage2"], env_low,
+                               cfg.super_resolution, cfg.dsp)
+    l_env = losses.log_env_l2(env_pred, batch.env_tgt)
+
+    # vocoder: render from (target-f0, predicted env) and match target wave
+    def vocode_one(f0, env, ap, mc, noise):
+        amps, nmag, f0f, voiced = neural_vocoder_controls(
+            params["vocoder"], f0, env, ap, mc, cfg.vocoder_nn, cfg.dsp)
+        wave, _ = render(amps, nmag, f0f, voiced, noise, cfg.dsp)
+        return wave
+
+    wave_pred = jax.vmap(vocode_one)(batch.f0_tgt, env_pred, batch.ap_src,
+                                     mc_pred, batch.noise)
+    l_stft = losses.multi_resolution_stft(wave_pred, batch.wave_tgt)
+
+    total = l_mc + l_env + 0.5 * l_stft
+    return total, {"loss": total, "mc": l_mc, "env": l_env, "stft": l_stft}
+
+
+def make_train_step(cfg: Config, optimizer=None):
+    opt = optimizer or make_optimizer()
+
+    def train_step(state: TrainState, batch: Batch
+                   ) -> tuple[TrainState, dict]:
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, cfg)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def init_train_state(params: dict, optimizer=None) -> TrainState:
+    opt = optimizer or make_optimizer()
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_sharded_train_step(cfg: Config, mesh, optimizer=None):
+    """jit the train step with explicit input shardings: batch over 'data',
+    params/opt-state over the model-sharding rule."""
+    step = make_train_step(cfg, optimizer)
+
+    def shard_state(state: TrainState) -> TrainState:
+        pshard = model_shard_params(mesh, state.params)
+        oshard = model_shard_params(mesh, state.opt_state)
+        return TrainState(
+            params=jax.device_put(state.params, pshard),
+            opt_state=jax.device_put(state.opt_state, oshard),
+            step=jax.device_put(state.step),
+        )
+
+    def shard_batch(batch: Batch) -> Batch:
+        return jax.device_put(batch, shard_batch_pytree(mesh, batch))
+
+    return jax.jit(step, donate_argnums=(0,)), shard_state, shard_batch
