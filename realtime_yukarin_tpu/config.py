@@ -176,6 +176,9 @@ class Config:
     input_statistics_path: str | None = None
     target_statistics_path: str | None = None
     use_neural_vocoder: bool = False
+    # model compute dtype ("bfloat16" doubles MXU throughput; params stay
+    # float32, heads cast back — identity-at-init is exact either way)
+    compute_dtype: str = "bfloat16"
     seed: int = 0
 
     # ------------------------------------------------------------------

@@ -18,6 +18,7 @@ import numpy as np
 from realtime_yukarin_tpu.config import DspConfig
 from realtime_yukarin_tpu.dsp import primitives as prim
 from realtime_yukarin_tpu.dsp.framing import extract_centered_frames
+from realtime_yukarin_tpu.ops import dft
 
 
 def _ap_fft_size(cfg: DspConfig) -> int:
@@ -29,33 +30,39 @@ def _ap_fft_size(cfg: DspConfig) -> int:
 
 def band_aperiodicity(x: jnp.ndarray, f0: jnp.ndarray, num_frames: int,
                       cfg: DspConfig, center_offset: int = 0) -> jnp.ndarray:
-    """[T], f0 [F] -> band aperiodicity [F, B] in (0, 1]."""
-    hop, W = cfg.hop, cfg.f0_window
+    """[T], f0 [F] -> band aperiodicity [F, B] in (0, 1].
+
+    FFT-free device formulation (matches the golden definition exactly):
+    per-band periodicity = autocorrelation of the band-masked power
+    spectrum at the F0 lag (Wiener-Khinchin) with the unbiased
+    zero-padding correction — one DFT-matmul power spectrum plus a cosine
+    contraction, no irfft and no per-frame gathers."""
+    hop = cfg.hop
     FL = cfg.f0_frame_len
     B = cfg.num_ap_bands
     AP_N = _ap_fft_size(cfg)
     fs = float(cfg.sample_rate)
 
     frames = extract_centered_frames(x, num_frames, hop, FL, center_offset)
-    s = jnp.zeros((num_frames, AP_N), frames.dtype).at[:, :FL].set(frames)
-    S = jnp.fft.rfft(s, axis=1)                               # [F, AP_N/2+1]
+    pad = jnp.zeros(frames.shape[:-1] + (AP_N - FL,), frames.dtype)
+    s = jnp.concatenate([frames, pad], axis=-1)
+    P = dft.power_spectrum(s, AP_N)                           # [F, K]
     masks = jnp.asarray(prim.ap_band_masks(cfg.sample_rate, B, AP_N),
-                        dtype=frames.dtype)                   # [B, bins]
-    sb = jnp.fft.irfft(S[:, None, :] * masks[None, :, :], n=AP_N,
-                       axis=2)                                # [F, B, AP_N]
+                        dtype=frames.dtype)                   # [B, K]
+    w = jnp.asarray(dft.autocorr_weights(AP_N), frames.dtype)  # [K]
 
     lag = jnp.clip(jnp.round(fs / jnp.maximum(f0, 1.0)),
-                   cfg.lag_min, cfg.lag_max).astype(jnp.int32)  # [F]
-    win_idx = jnp.arange(W)[None, :]                          # [1, W]
-    head = sb[:, :, :W]                                       # [F, B, W]
-    shift_idx = (lag[:, None] + win_idx)[:, None, :]          # [F, 1, W]
-    shifted = jnp.take_along_axis(
-        sb, jnp.broadcast_to(shift_idx, (num_frames, B, W)), axis=2)
+                   cfg.lag_min, cfg.lag_max)                  # [F] float
+    K = P.shape[-1]
+    k = jnp.arange(K, dtype=P.dtype)
+    cosv = jnp.cos((2.0 * jnp.pi / AP_N) * lag[:, None] * k)  # [F, K]
 
-    num = jnp.sum(head * shifted, axis=2)
-    e1 = jnp.sum(head * head, axis=2)
-    e2 = jnp.sum(shifted * shifted, axis=2)
-    p = num / jnp.sqrt(e1 * e2 + 1e-20)
+    Pw = P * w                                                # [F, K]
+    r_lag = jnp.einsum("fk,bk,fk->fb", Pw, masks, cosv,
+                       precision=jax.lax.Precision.HIGHEST)
+    r0 = jnp.einsum("fk,bk->fb", Pw, masks,
+                    precision=jax.lax.Precision.HIGHEST)
+    p = r_lag / (r0 + 1e-20) * FL / (FL - lag[:, None])
     ap = jnp.sqrt(jnp.clip(1.0 - p, 1e-6, 1.0))
     return jnp.where((f0 > 0)[:, None], ap, 1.0)
 

@@ -17,8 +17,8 @@ import numpy as np
 
 from realtime_yukarin_tpu.config import DspConfig
 from realtime_yukarin_tpu.dsp import primitives as prim
-from realtime_yukarin_tpu.dsp.framing import (extract_centered_frames, hann,
-                                              rect_smooth_rows)
+from realtime_yukarin_tpu.dsp.framing import extract_centered_frames, hann
+from realtime_yukarin_tpu.ops import dft
 
 
 def power_spectrogram(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
@@ -27,30 +27,35 @@ def power_spectrogram(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     N = cfg.fft_size
     frames = extract_centered_frames(x, num_frames, cfg.hop, N,
                                      center_offset)
-    return jnp.abs(jnp.fft.rfft(frames * hann(N)[None, :], axis=1)) ** 2
+    # DFT-as-matmul: ~10x faster than XLA's TPU FFT at these sizes
+    return dft.power_spectrum(frames * hann(N, frames.dtype), N)
 
 
 def envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
                         ) -> jnp.ndarray:
-    """Power spectrogram [F, K] + f0 [F] -> power envelope [F, K]."""
+    """Power spectrogram [F, K] + f0 [F] -> power envelope [F, K].
+
+    Both pitch-adaptive steps are quefrency sinc filters (4 MXU matmuls
+    total, no gathers): (1) linear-domain smoothing with effective rect
+    width f0 fills inter-harmonic valleys; (2) log-domain liftering
+    removes residual harmonic ripple.
+    """
     N = cfg.fft_size
     fs = float(cfg.sample_rate)
     f0_eff = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
 
-    hw = jnp.maximum(f0_eff * N / (2.0 * fs), 0.5)
-    P = rect_smooth_rows(P, hw)
+    t_q = jnp.asarray(np.arange(N // 2 + 1) / fs, dtype=P.dtype)
+    lift_half = jnp.sinc(f0_eff[:, None] * t_q[None, :])
+
+    P = dft.quefrency_filter(P, lift_half, N)
     # relative per-frame floor: bounds the log dynamic range so float32
-    # FFT noise in silent bins cannot blow up the log-domain envelope
+    # DFT noise in silent bins cannot blow up the log-domain envelope
     floor = jnp.maximum(
         jnp.max(P, axis=1, keepdims=True)
         * 10.0 ** (cfg.envelope_floor_db / 10.0), prim.POWER_FLOOR)
     L = jnp.log(jnp.maximum(P, floor))
 
-    c = jnp.fft.irfft(L.astype(jnp.complex64), n=N, axis=1)   # real cepstrum
-    t_q = jnp.asarray(np.minimum(np.arange(N), N - np.arange(N)) / fs,
-                      dtype=L.dtype)
-    lift = jnp.sinc(f0_eff[:, None] * t_q[None, :])
-    L_env = jnp.fft.rfft(c * lift, axis=1).real
+    L_env = dft.quefrency_filter(L, lift_half, N)
     return jnp.exp(L_env)
 
 

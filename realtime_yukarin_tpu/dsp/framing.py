@@ -9,6 +9,7 @@ uses, so streamed and offline paths agree exactly on the interior.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,37 +25,24 @@ def extract_centered_frames(x: jnp.ndarray, num_frames: int, hop: int,
                             ) -> jnp.ndarray:
     """[..., T] -> [..., F, frame_len]; frame i is centered at
     center_offset + i*hop, zero-padded outside [0, T).  The streaming layer
-    uses center_offset to address interior frames of its rolling buffer."""
+    uses center_offset to address interior frames of its rolling buffer.
+
+    Implemented as static slices + stack (pure data movement XLA schedules
+    well) — TPU gathers serialize through the scalar unit and were ~10x
+    slower at these shapes."""
     T = x.shape[-1]
-    starts = (np.arange(num_frames) * hop + center_offset
-              - frame_len // 2)
-    idx = starts[:, None] + np.arange(frame_len)[None, :]      # [F, L] host
-    valid = jnp.asarray((idx >= 0) & (idx < T))
-    gathered = jnp.take(x, jnp.asarray(np.clip(idx, 0, T - 1)), axis=-1)
-    return jnp.where(valid, gathered, 0.0)
-
-
-def rect_smooth_rows(P: jnp.ndarray, half_width_bins: jnp.ndarray
-                     ) -> jnp.ndarray:
-    """Row-wise fractional rectangular smoothing via cumulative sums.
-
-    P: [F, K]; half_width_bins: [F].  Mirrors golden ``_rect_smooth``.
-    """
-    F, K = P.shape
-    C = jnp.concatenate([jnp.zeros((F, 1), P.dtype), jnp.cumsum(P, axis=1)],
-                        axis=1)                                  # [F, K+1]
-    k = jnp.arange(K, dtype=P.dtype)[None, :]
-    hw = half_width_bins[:, None]
-    lo = jnp.clip(k + 0.5 - hw, 0.0, float(K))
-    hi = jnp.clip(k + 0.5 + hw, 0.0, float(K))
-
-    def S(t):
-        j = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, K - 1)
-        frac = t - j.astype(P.dtype)
-        return (jnp.take_along_axis(C, j, axis=1)
-                + frac * jnp.take_along_axis(P, j, axis=1))
-
-    return (S(hi) - S(lo)) / jnp.maximum(hi - lo, 1e-9)
+    starts = np.arange(num_frames) * hop + center_offset - frame_len // 2
+    pad_left = int(max(0, -starts.min()))
+    pad_right = int(max(0, starts.max() + frame_len - T))
+    if pad_left or pad_right:
+        cfgpad = [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)]
+        x = jnp.pad(x, cfgpad)
+    frames = [
+        jax.lax.slice_in_dim(x, int(s0) + pad_left,
+                             int(s0) + pad_left + frame_len, axis=-1)
+        for s0 in starts
+    ]
+    return jnp.stack(frames, axis=-2)
 
 
 def lerp_rows(values: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:

@@ -107,32 +107,19 @@ def estimate_f0(x: np.ndarray, num_frames: int, cfg: DspConfig) -> np.ndarray:
 # Spectral envelope (CheapTrick-equivalent)
 # ---------------------------------------------------------------------------
 
-def _rect_smooth(P: np.ndarray, half_width_bins: float) -> np.ndarray:
-    """Linear-domain rectangular smoothing with fractional, edge-clipped
-    window via cumulative sums (identical formulation in the JAX path)."""
-    K = len(P)
-    C = np.concatenate([[0.0], np.cumsum(P)])     # C[j] = sum(P[:j])
-
-    def S(t: float) -> float:
-        t = min(max(t, 0.0), float(K))
-        j = min(int(np.floor(t)), K - 1)
-        return C[j] + (t - j) * P[j]
-
-    out = np.zeros_like(P)
-    for k in range(K):
-        lo = min(max(k + 0.5 - half_width_bins, 0.0), float(K))
-        hi = min(max(k + 0.5 + half_width_bins, 0.0), float(K))
-        out[k] = (S(hi) - S(lo)) / max(hi - lo, 1e-9)
-    return out
+def _quefrency_filter(X: np.ndarray, lift: np.ndarray) -> np.ndarray:
+    """rfft(lift * irfft(X)).real — sinc lifters make this frequency-domain
+    rectangular smoothing (rect <-> sinc duality); same linear map as the
+    JAX ops.dft.quefrency_filter matmuls."""
+    return np.fft.rfft(np.fft.irfft(X) * lift).real
 
 
 def spectral_envelope(x: np.ndarray, f0: np.ndarray, num_frames: int,
                       cfg: DspConfig) -> np.ndarray:
-    """Power spectrum -> f0-adaptive linear smoothing (rect, full width
-    one harmonic spacing f0, CheapTrick-style) -> log -> f0-adaptive
-    cepstral lifter -> exp.  Full-width-f0 smoothing guarantees the window
-    always covers exactly one mainlobe of energy, so the log spectrum of a
-    harmonic signal is near-flat and the lifter is benign."""
+    """Power spectrum -> f0-adaptive linear-domain smoothing (quefrency
+    sinc = rect of full width f0, CheapTrick-style: fills inter-harmonic
+    valleys so the envelope passes through harmonic peaks) -> log ->
+    f0-adaptive cepstral lifter -> exp."""
     N = cfg.fft_size
     hop = cfg.hop
     fs = float(cfg.sample_rate)
@@ -144,14 +131,12 @@ def spectral_envelope(x: np.ndarray, f0: np.ndarray, num_frames: int,
     for i in range(num_frames):
         P = np.abs(np.fft.rfft(frames[i] * w)) ** 2
         f0_eff = f0[i] if f0[i] > 0 else prim.DEFAULT_F0
-        hw = max(f0_eff * N / (2.0 * fs), 0.5)    # half of full width f0
-        P = _rect_smooth(P, hw)
+        lift = np.sinc(f0_eff * t_q)     # np.sinc(x) = sin(pi x)/(pi x)
+        P = _quefrency_filter(P, lift)
         floor = max(P.max() * 10.0 ** (cfg.envelope_floor_db / 10.0),
                     prim.POWER_FLOOR)
         L = np.log(np.maximum(P, floor))
-        c = np.fft.irfft(L)              # real cepstrum, length N
-        lift = np.sinc(f0_eff * t_q)     # np.sinc(x) = sin(pi x)/(pi x)
-        L_env = np.fft.rfft(c * lift).real
+        L_env = _quefrency_filter(L, lift)
         env[i] = np.exp(L_env)
     return env
 
@@ -169,7 +154,12 @@ def _ap_fft_size(cfg: DspConfig) -> int:
 
 def band_aperiodicity(x: np.ndarray, f0: np.ndarray, num_frames: int,
                       cfg: DspConfig) -> np.ndarray:
-    hop, W = cfg.hop, cfg.f0_window
+    """Band periodicity from the band-masked power spectrum's
+    autocorrelation at the F0 lag (Wiener-Khinchin), with the unbiased
+    (FL/(FL-lag)) zero-padding correction.  This formulation needs no
+    time-domain band filtering, so the device version is FFT-free
+    (one power spectrum + cosine contractions)."""
+    hop = cfg.hop
     FL = cfg.f0_frame_len
     B = cfg.num_ap_bands
     AP_N = _ap_fft_size(cfg)
@@ -183,15 +173,17 @@ def band_aperiodicity(x: np.ndarray, f0: np.ndarray, num_frames: int,
         lag = int(np.clip(round(fs / f0[i]), cfg.lag_min, cfg.lag_max))
         s = np.zeros(AP_N)
         s[:FL] = frames[i]
-        S = np.fft.rfft(s)
+        P = np.abs(np.fft.rfft(s)) ** 2
         for b in range(B):
-            sb = np.fft.irfft(S * masks[b])
-            num = np.dot(sb[:W], sb[lag:lag + W])
-            e1 = np.dot(sb[:W], sb[:W])
-            e2 = np.dot(sb[lag:lag + W], sb[lag:lag + W])
-            p = num / np.sqrt(e1 * e2 + 1e-20)
+            r = np.fft.irfft(_two_sided(P * masks[b], AP_N))
+            p = r[lag] / (r[0] + 1e-20) * FL / (FL - lag)
             ap[i, b] = np.sqrt(np.clip(1.0 - p, 1e-6, 1.0))
     return ap
+
+
+def _two_sided(P_one_sided: np.ndarray, n: int) -> np.ndarray:
+    """One-sided power spectrum -> rfft-layout complex (it already is)."""
+    return P_one_sided.astype(np.complex128)
 
 
 # ---------------------------------------------------------------------------

@@ -56,12 +56,17 @@ def convert_f0_stats(f0: jnp.ndarray, stats: dict) -> jnp.ndarray:
     return jnp.where(voiced, out, 0.0)
 
 
+def compute_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 def convert_features(params: dict, feat: AcousticFeature, cfg: Config,
-                     use_sr: bool = True, dtype=jnp.float32
-                     ) -> AcousticFeature:
+                     use_sr: bool = True, dtype=None) -> AcousticFeature:
     """feature -> converted feature (SURVEY.md §3.1 convert_worker body):
     F0 moment matching, stage-1 mc mapping, mc->envelope decode, stage-2
     envelope super-resolution; aperiodicity passes through."""
+    if dtype is None:
+        dtype = compute_dtype(cfg)
     f0c = convert_f0_stats(feat.f0, params["f0_stats"])
     mc_c = convert_mc(params["stage1"], feat.mc, feat.f0, cfg.acoustic,
                       cfg.dsp, dtype)

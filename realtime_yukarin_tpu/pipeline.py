@@ -20,7 +20,8 @@ from realtime_yukarin_tpu.dsp import primitives as prim
 from realtime_yukarin_tpu.dsp.synthesis import SynthCarry, synthesize
 from realtime_yukarin_tpu.dsp.world import AcousticFeature, analyze
 from realtime_yukarin_tpu.models.vocoder_nn import neural_vocode
-from realtime_yukarin_tpu.models.voice_changer import convert_features
+from realtime_yukarin_tpu.models.voice_changer import (compute_dtype,
+                                                       convert_features)
 from realtime_yukarin_tpu.streaming.pipeline import frame_noise
 
 
@@ -51,11 +52,11 @@ def offline_convert(params: dict, wave: jnp.ndarray, key: jax.Array,
     conv = _extend_one_frame(conv)
     # per-frame fold_in noise: identical scheme to the streaming path, so
     # streamed and offline outputs agree exactly (tests/test_streaming.py)
-    noise = frame_noise(key, jnp.arange(num_frames), noise_bins(cfg))
+    noise = frame_noise(key, 0, num_frames, noise_bins(cfg))
     if use_neural_vocoder:
         out, _ = neural_vocode(params["vocoder"], conv.f0, conv.env,
                                conv.ap, conv.mc, noise, cfg.vocoder_nn,
-                               cfg.dsp)
+                               cfg.dsp, dtype=compute_dtype(cfg))
     else:
         out, _ = synthesize(conv.f0, conv.env, conv.ap, noise, cfg.dsp)
     return out
@@ -72,6 +73,6 @@ def offline_synthesize(feat: AcousticFeature, key: jax.Array, cfg: Config
                        ) -> jnp.ndarray:
     ext = _extend_one_frame(feat)
     F = feat.f0.shape[0]
-    noise = frame_noise(key, jnp.arange(F), noise_bins(cfg))
+    noise = frame_noise(key, 0, F, noise_bins(cfg))
     out, _ = synthesize(ext.f0, ext.env, ext.ap, noise, cfg.dsp)
     return out

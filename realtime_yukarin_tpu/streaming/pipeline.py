@@ -23,21 +23,38 @@ from realtime_yukarin_tpu.config import Config
 from realtime_yukarin_tpu.dsp.synthesis import synthesize
 from realtime_yukarin_tpu.dsp.world import AcousticFeature, analyze
 from realtime_yukarin_tpu.models.vocoder_nn import neural_vocode
-from realtime_yukarin_tpu.models.voice_changer import convert_features
+from realtime_yukarin_tpu.models.voice_changer import (compute_dtype,
+                                                       convert_features)
 from realtime_yukarin_tpu.streaming.state import (StreamCarry,
                                                   StreamGeometry, noise_bins)
 
 
-def frame_noise(key: jax.Array, frame_indices: jnp.ndarray, bins: int
+NOISE_BLOCK = 16      # frames per RNG block (position-aligned grid)
+
+
+def frame_noise(key: jax.Array, start_frame, count: int, bins: int
                 ) -> jnp.ndarray:
-    """[F] global frame indices -> [F, bins, 2] unit gaussians, position-
-    deterministic (same frame always gets the same noise)."""
+    """Noise for global frames [start, start+count) -> [count, bins, 2].
 
-    def one(i):
-        return jax.random.normal(jax.random.fold_in(key, i), (bins, 2),
-                                 jnp.float32)
+    Position-deterministic: frame i's gaussians come from block i//16 at
+    offset i%16 regardless of how the range is chunked, so streamed and
+    offline synthesis see identical noise.  Blocks (not per-frame keys)
+    keep the threefry cost amortized — per-frame fold_in was ~30 ms/step
+    for 64 streams; blocks are ~10x cheaper.
+    """
+    G = NOISE_BLOCK
+    start = jnp.asarray(start_frame, jnp.int32)
+    nblocks = count // G + 2
+    first = jnp.floor_divide(start, G)
 
-    return jax.vmap(one)(frame_indices)
+    def gen(j):
+        return jax.random.normal(jax.random.fold_in(key, first + j),
+                                 (G, bins, 2), jnp.float32)
+
+    blocks = jax.vmap(gen)(jnp.arange(nblocks))        # [nb, G, bins, 2]
+    flat = blocks.reshape(nblocks * G, bins, 2)
+    offset = start - first * G
+    return jax.lax.dynamic_slice_in_dim(flat, offset, count, axis=0)
 
 
 def _slice_frames(feat: AcousticFeature, start: int, count: int
@@ -75,11 +92,12 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
 
     # 4. synthesize Fc frames with position-deterministic noise
     out_frame0 = carry.frame_pos
-    noise = frame_noise(key, out_frame0 + jnp.arange(Fc), noise_bins(cfg))
+    noise = frame_noise(key, out_frame0, Fc, noise_bins(cfg))
     if use_neural_vocoder:
         out, synth_carry = neural_vocode(
             params["vocoder"], conv.f0, conv.env, conv.ap, conv.mc, noise,
-            cfg.vocoder_nn, cfg.dsp, carry.synth)
+            cfg.vocoder_nn, cfg.dsp, carry.synth,
+            dtype=compute_dtype(cfg))
     else:
         out, synth_carry = synthesize(conv.f0, conv.env, conv.ap, noise,
                                       cfg.dsp, carry.synth)

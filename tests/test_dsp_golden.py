@@ -61,9 +61,10 @@ def test_envelope_matches_golden(dsp_cfg, kind):
     j = np.asarray(spectral_envelope(jnp.asarray(x, jnp.float32),
                                      jnp.asarray(f0, jnp.float32), F,
                                      dsp_cfg))
-    # compare in log domain (power spans many orders of magnitude)
+    # compare in log domain (power spans many orders of magnitude);
+    # tolerance covers the bf16_3x DFT matmuls near the -70 dB floor
     np.testing.assert_allclose(np.log(j + 1e-12), np.log(g + 1e-12),
-                               rtol=0, atol=5e-2)
+                               rtol=0, atol=1e-1)
 
 
 @pytest.mark.parametrize("kind", ["harmonic", "sweep", "speechlike"])
