@@ -102,18 +102,17 @@ class AcousticModelConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SuperResolutionConfig:
-    """Stage-2 spectral super-resolution net (become-yukarin equiv)."""
+    """Stage-2 spectral super-resolution net (become-yukarin equiv):
+    frequency-mixing dense layers + gated time convolutions (MXU-native)."""
 
-    base_channels: int = 32
-    num_scales: int = 3                   # U-Net depth over (time, freq)
+    hidden: int = 512
+    num_blocks: int = 4
     kernel_size: int = 3
 
     @property
     def context_frames(self) -> int:
-        # One-sided time receptive field.  The U-Net downsamples only along
-        # frequency, so every conv contributes kernel_size//2 frames: stem,
-        # mid, head + 4 convs per scale (enc a/b, dec a/b).
-        return (3 + 4 * self.num_scales) * (self.kernel_size // 2)
+        """One-sided time receptive field (only the time convs widen it)."""
+        return self.num_blocks * (self.kernel_size // 2)
 
 
 @dataclasses.dataclass(frozen=True)

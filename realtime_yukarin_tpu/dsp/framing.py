@@ -31,18 +31,27 @@ def extract_centered_frames(x: jnp.ndarray, num_frames: int, hop: int,
     well) — TPU gathers serialize through the scalar unit and were ~10x
     slower at these shapes."""
     T = x.shape[-1]
-    starts = np.arange(num_frames) * hop + center_offset - frame_len // 2
-    pad_left = int(max(0, -starts.min()))
-    pad_right = int(max(0, starts.max() + frame_len - T))
+    start0 = center_offset - frame_len // 2
+    nblk = -(-frame_len // hop)            # hop-blocks covering one frame
+    # samples needed: [start0, start0 + (F-1+nblk)*hop)
+    need_end = start0 + (num_frames - 1 + nblk) * hop
+    pad_left = max(0, -start0)
+    pad_right = max(0, need_end - T)
     if pad_left or pad_right:
         cfgpad = [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)]
         x = jnp.pad(x, cfgpad)
-    frames = [
-        jax.lax.slice_in_dim(x, int(s0) + pad_left,
-                             int(s0) + pad_left + frame_len, axis=-1)
-        for s0 in starts
+    y = jax.lax.slice_in_dim(x, start0 + pad_left, need_end + pad_left,
+                             axis=-1)
+    # block trick: frame i = concat of hop-blocks i..i+nblk-1, so the whole
+    # frame matrix is nblk static slices of the block-reshaped signal —
+    # O(nblk) slices instead of O(num_frames) (or TPU-hostile gathers).
+    blocks = y.reshape(y.shape[:-1] + (num_frames - 1 + nblk, hop))
+    parts = [
+        jax.lax.slice_in_dim(blocks, m, m + num_frames, axis=-2)
+        for m in range(nblk)
     ]
-    return jnp.stack(frames, axis=-2)
+    frames = jnp.concatenate(parts, axis=-1)      # [..., F, nblk*hop]
+    return frames[..., :frame_len]
 
 
 def lerp_rows(values: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:

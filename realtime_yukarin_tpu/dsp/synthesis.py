@@ -26,6 +26,14 @@ from realtime_yukarin_tpu.config import DspConfig
 from realtime_yukarin_tpu.dsp import primitives as prim
 from realtime_yukarin_tpu.dsp.aperiodicity import expand_aperiodicity
 from realtime_yukarin_tpu.dsp.framing import lerp_rows
+from realtime_yukarin_tpu.ops import dft
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 class SynthCarry(NamedTuple):
@@ -153,25 +161,33 @@ def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
         step, (carry.phase, carry.voiced_prev), (cum[:, -1], voiced[:-1]))
     phi = boundaries[:, None] + cum                            # [F, hop]
 
-    a_inst = (amps[:-1, None, :] * (1.0 - frac)[None, :, None]
-              + amps[1:, None, :] * frac[None, :, None])       # [F, hop, H]
-    h_idx = jnp.arange(1, cfg.max_harmonics + 1, dtype=dtype)
-    harm = jnp.einsum("fnh,fnh->fn", a_inst,
-                      jnp.sin(phi[:, :, None] * h_idx[None, None, :]),
-                      precision=jax.lax.Precision.HIGHEST)
+    if _use_pallas():
+        # Pallas Chebyshev-recurrence kernel: one sin/cos per sample, FMA
+        # per harmonic (ops/pallas_synth.py — the vocoder sampling loop)
+        from realtime_yukarin_tpu.ops.pallas_synth import harmonic_bank
+        frac_rows = jnp.broadcast_to(frac[None, :], phi.shape)
+        harm = harmonic_bank(amps[:-1], amps[1:], phi, frac_rows)
+    else:
+        a_inst = (amps[:-1, None, :] * (1.0 - frac)[None, :, None]
+                  + amps[1:, None, :] * frac[None, :, None])   # [F, hop, H]
+        h_idx = jnp.arange(1, cfg.max_harmonics + 1, dtype=dtype)
+        harm = jnp.einsum("fnh,fnh->fn", a_inst,
+                          jnp.sin(phi[:, :, None] * h_idx[None, None, :]),
+                          precision=jax.lax.Precision.HIGHEST)
     harm = harm.reshape(F * hop)
 
     # ---- noise branch ---------------------------------------------------
     A = noise_mag
-    g = jax.lax.complex(noise[:, :, 0], noise[:, :, 1]) / jnp.sqrt(
-        jnp.asarray(2.0, dtype))
-    spec = A.astype(jnp.complex64) * g.astype(jnp.complex64)
     root2 = jnp.sqrt(jnp.asarray(2.0, dtype))
-    spec = spec.at[:, 0].set((spec[:, 0].real * root2).astype(jnp.complex64))
-    spec = spec.at[:, -1].set(
-        (spec[:, -1].real * root2).astype(jnp.complex64))
+    inv_root2 = 1.0 / root2
+    re = A * noise[:, :, 0] * inv_root2
+    im = A * noise[:, :, 1] * inv_root2
+    # DC and Nyquist bins are real with doubled weight (matches golden)
+    re = re.at[:, 0].mul(root2).at[:, -1].mul(root2)
+    im = im.at[:, 0].set(0.0).at[:, -1].set(0.0)
     w_noise = jnp.asarray(prim.noise_window(hop), dtype)
-    seg = jnp.fft.irfft(spec, n=n_noise, axis=1) * w_noise[None, :]
+    # irfft as two MXU matmuls (ops/dft.py) — no XLA FFT in the hot path
+    seg = dft.irfft_real(re, im, n_noise) * w_noise[None, :]
 
     # exact-COLA overlap-add via block shifting: n_noise = 4*hop, so block m
     # of segment i lands on output frame i+m.

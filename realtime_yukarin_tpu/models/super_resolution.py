@@ -1,16 +1,17 @@
 """Stage-2 spectral super-resolution (become-yukarin ``SuperResolution``).
 
 SURVEY.md §2b: the reference's stage 2 is a Chainer 2-D conv
-encoder-decoder over (time x frequency) that maps the smooth envelope
-decoded from converted mel-cepstrum to a full-detail spectral envelope.
+encoder-decoder over (time x frequency) patches that maps the smooth
+envelope decoded from converted mel-cepstrum to a full-detail envelope.
 
-TPU-first re-design: a frequency-axis U-Net — downsampling happens ONLY
-along frequency (strides (1, 2)), never along time.  That keeps the
-time receptive field small and parity-free, so chunked streaming needs just
-``context_frames`` of halo and interior outputs match offline exactly
-(no alignment constraints between chunk boundaries and pooling grids).
-Works on log-power; the output head is zero-initialized so the untrained
-net is the identity.
+TPU-first re-design (2nd iteration): the 2-D U-Net treated frequency as a
+spatial axis — small channel counts starved the MXU (43 ms/step measured).
+A frequency-mixing design is both stronger for 513-bin envelopes (every
+output bin sees every input bin immediately) and MXU-native: dense
+freq-mixing layers + gated time convolutions with ~512 channels, all
+[rows, 512]x[512, .] matmuls.  ~16x fewer FLOPs than the U-Net and a
+4-frame time context instead of 15 (shorter streaming halo/latency).
+Works on log-power; zero-init head => identity at init.
 """
 
 from __future__ import annotations
@@ -31,39 +32,19 @@ class SRNet(nn.Module):
     @nn.compact
     def __call__(self, logE: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
-        k = c.kernel_size
-        # frequency axis must be divisible by 2**num_scales: process the
-        # first 2**ceil bins and pass the Nyquist remainder through.
-        fdiv = 2 ** c.num_scales
-        K_proc = (self.spec_bins // fdiv) * fdiv          # e.g. 513 -> 512
-        x = logE[..., :K_proc, None].astype(self.dtype)   # [B, T, F, 1]
-
-        skips = []
-        h = nn.Conv(c.base_channels, (k, k), padding="SAME",
-                    dtype=self.dtype, name="stem")(x)
-        ch = c.base_channels
-        for s in range(c.num_scales):
-            h = nn.gelu(nn.Conv(ch, (k, k), padding="SAME",
-                                dtype=self.dtype, name=f"enc_{s}a")(h))
-            skips.append(h)
-            ch *= 2
-            h = nn.gelu(nn.Conv(ch, (k, k), strides=(1, 2), padding="SAME",
-                                dtype=self.dtype, name=f"enc_{s}b")(h))
-        h = nn.gelu(nn.Conv(ch, (k, k), padding="SAME", dtype=self.dtype,
-                            name="mid")(h))
-        for s in reversed(range(c.num_scales)):
-            ch //= 2
-            h = nn.ConvTranspose(ch, (k, k), strides=(1, 2), padding="SAME",
-                                 dtype=self.dtype, name=f"dec_{s}a")(h)
-            h = jnp.concatenate([h, skips[s]], axis=-1)
-            h = nn.gelu(nn.Conv(ch, (k, k), padding="SAME",
-                                dtype=self.dtype, name=f"dec_{s}b")(h))
-        res = nn.Conv(1, (k, k), padding="SAME", dtype=self.dtype,
-                      kernel_init=nn.initializers.zeros, name="head")(h)
-        res = res[..., 0].astype(jnp.float32)             # [B, T, K_proc]
-        pad = jnp.zeros(logE.shape[:-1] + (self.spec_bins - K_proc,),
-                        jnp.float32)
-        return logE + jnp.concatenate([res, pad], axis=-1)
+        x = logE.astype(self.dtype)
+        h = nn.Dense(c.hidden, dtype=self.dtype, name="freq_in")(x)
+        for i in range(c.num_blocks):
+            r = nn.Conv(2 * c.hidden, (c.kernel_size,), padding="SAME",
+                        dtype=self.dtype, name=f"time_conv_{i}")(h)
+            a, b = jnp.split(r, 2, axis=-1)
+            r = a * nn.sigmoid(b)                     # GLU over time context
+            r = nn.Dense(c.hidden, dtype=self.dtype,
+                         name=f"freq_mix_{i}")(r)
+            h = h + r
+        res = nn.Dense(self.spec_bins, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros, name="head")(h)
+        return logE + res.astype(jnp.float32)
 
 
 def refine_envelope(params, env: jnp.ndarray, sr_cfg: SuperResolutionConfig,

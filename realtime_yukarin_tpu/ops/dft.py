@@ -109,6 +109,27 @@ def quefrency_filter(L: jnp.ndarray, lift_half: jnp.ndarray, n: int
     return jnp.matmul(c_half * lift_half, D, precision=DFT_PRECISION)
 
 
+@functools.lru_cache(maxsize=None)
+def irfft_bases(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(A [K, n], B [K, n]): irfft(X, n) = Re(X) @ A + Im(X) @ B."""
+    K = n // 2 + 1
+    w = np.full(K, 2.0 / n)
+    w[0] = w[-1] = 1.0 / n
+    k = np.arange(K)
+    t = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(k, t) / n
+    return np.cos(ang) * w[:, None], -np.sin(ang) * w[:, None]
+
+
+def irfft_real(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
+    """irfft from split re/im one-sided spectra, as two MXU matmuls."""
+    A, B = irfft_bases(n)
+    A = jnp.asarray(A, re.dtype)
+    B = jnp.asarray(B, re.dtype)
+    return (jnp.matmul(re, A, precision=DFT_PRECISION)
+            + jnp.matmul(im, B, precision=DFT_PRECISION))
+
+
 def autocorr_at_lag(P: jnp.ndarray, lag: jnp.ndarray, n: int) -> jnp.ndarray:
     """r(lag) = irfft(two_sided(P))[lag] for per-row lags, FFT-free.
 

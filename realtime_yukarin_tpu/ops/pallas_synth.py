@@ -1,0 +1,114 @@
+"""Pallas TPU kernel: harmonic-bank rendering (the vocoder sampling loop).
+
+BASELINE north star: "the vocoder sampling loop as a Pallas kernel".  The
+XLA path evaluates sin(h * phi) for every (sample, harmonic) pair — ~20M
+transcendentals per 64-stream chunk.  This kernel computes the whole bank
+from ONE sin/cos per sample via the Chebyshev recurrence
+
+    sin((h+1) phi) = 2 cos(phi) sin(h phi) - sin((h-1) phi)
+
+so the per-harmonic work is a single fused multiply-add on the VPU, with
+amplitudes resident in VMEM.  Interpolation trick: instead of lerping
+per-sample amplitudes (a [frames, hop, H] tensor), the kernel accumulates
+the left-frame and right-frame harmonic sums separately and lerps the two
+scalars-per-sample at the end — identical math, H x less bandwidth.
+
+Fallback: dsp.synthesis keeps the einsum path (golden-tested); the kernel
+is verified equal to it in tests (interpret mode) and on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+SUBLANE = 8
+
+
+def _kernel(amps_l_ref, amps_r_ref, phi_ref, frac_ref, out_ref):
+    """Blocks: amps_l/r [TF, H], phi/frac/out [TF, LANE] (hop padded).
+
+    The harmonic loop is statically unrolled: Mosaic cannot prove dynamic
+    lane-dimension indices aligned, but static column extracts of a loaded
+    value compile fine (and unrolling lets it software-pipeline the FMAs).
+    """
+    phi = phi_ref[:, :]
+    s_prev = jnp.zeros_like(phi)
+    s_cur = jnp.sin(phi)
+    c2 = 2.0 * jnp.cos(phi)
+    A_l = amps_l_ref[:, :]
+    A_r = amps_r_ref[:, :]
+    H = A_l.shape[1]
+    acc_l = jnp.zeros_like(phi)
+    acc_r = jnp.zeros_like(phi)
+    for h in range(H):                      # static unroll
+        a_l = A_l[:, h][:, None]
+        a_r = A_r[:, h][:, None]
+        acc_l = acc_l + a_l * s_cur
+        acc_r = acc_r + a_r * s_cur
+        s_prev, s_cur = s_cur, c2 * s_cur - s_prev
+    frac = frac_ref[:, :]
+    out_ref[:, :] = acc_l * (1.0 - frac) + acc_r * frac
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def harmonic_bank(amps_l: jnp.ndarray, amps_r: jnp.ndarray,
+                  phi: jnp.ndarray, frac: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Render sum_h lerp(aL, aR)[n] * sin(h * phi[n]) per frame row.
+
+    amps_l/amps_r: [R, H] harmonic amplitudes at the frame's left/right
+    edge; phi: [R, hop] per-sample fundamental phase; frac: [R, hop]
+    interpolation weight in (0, 1].  Returns [R, hop].
+    """
+    R, H = amps_l.shape
+    hop = phi.shape[1]
+    hop_pad = -(-hop // LANE) * LANE
+    R_pad = -(-R // SUBLANE) * SUBLANE
+
+    def pad(x, rows, cols):
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+    amps_l_p = pad(amps_l, R_pad, H)
+    amps_r_p = pad(amps_r, R_pad, H)
+    phi_p = pad(phi, R_pad, hop_pad)
+    frac_p = pad(frac, R_pad, hop_pad)
+
+    TF = SUBLANE
+    grid = (R_pad // TF,)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((R_pad, hop_pad), phi.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TF, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, hop_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, hop_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TF, hop_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(amps_l_p, amps_r_p, phi_p, frac_p)
+    return out[:R, :hop]
+
+
+def harmonic_bank_xla(amps_l, amps_r, phi, frac):
+    """Reference einsum formulation (identical math, for parity tests)."""
+    H = amps_l.shape[1]
+    h_idx = jnp.arange(1, H + 1, dtype=phi.dtype)
+    s = jnp.sin(phi[:, :, None] * h_idx[None, None, :])
+    yl = jnp.einsum("rnh,rh->rn", s, amps_l,
+                    precision=jax.lax.Precision.HIGHEST)
+    yr = jnp.einsum("rnh,rh->rn", s, amps_r,
+                    precision=jax.lax.Precision.HIGHEST)
+    return yl * (1.0 - frac) + yr * frac
