@@ -1,0 +1,131 @@
+"""Training CLI — the yukarin/become-yukarin trainer role (SURVEY.md §2b).
+
+Trains all three model stages jointly (stage-1 mc regression, stage-2
+envelope super-resolution, neural vocoder multi-res STFT), optionally with
+the adversarial stage-2 objective (--gan).  The batch shards over the
+mesh 'data' axis and parameters over 'model' — same shardings serving
+uses, so a multi-chip training run exercises identical collectives.
+
+Data: a prepared corpus dir from ``cli.prepare`` (real wav pairs), or
+``--synthetic`` for the self-generated speaker pairs in training.data
+(this environment has no speech corpora).
+
+Usage:
+    python -m realtime_yukarin_tpu.cli.train --prepared_dir prepared/ \
+        --ckpt_dir ckpts/ [--steps 1000] [--gan] [--config_path c.yaml]
+    python -m realtime_yukarin_tpu.cli.train --synthetic --steps 50 \
+        --ckpt_dir ckpts/
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.models.discriminator import init_discriminator
+from realtime_yukarin_tpu.models.voice_changer import (init_params,
+                                                       save_params)
+from realtime_yukarin_tpu.parallel.mesh import make_mesh
+from realtime_yukarin_tpu.training.checkpoint import (restore_checkpoint,
+                                                      save_checkpoint)
+from realtime_yukarin_tpu.training.train_step import (
+    GanTrainState, init_gan_train_state, init_train_state,
+    make_gan_train_step, make_sharded_train_step, make_train_step)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--prepared_dir", default=None,
+                   help="output dir of cli.prepare")
+    p.add_argument("--synthetic", action="store_true",
+                   help="self-generated speaker pairs (no corpus needed)")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--export_params", default=None,
+                   help="write final inference params msgpack here")
+    p.add_argument("--config_path", default=None)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--crop_frames", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--gan", action="store_true",
+                   help="adversarial stage-2 objective")
+    p.add_argument("--adv_weight", type=float, default=0.1)
+    p.add_argument("--ckpt_every", type=int, default=200)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if not args.synthetic and not args.prepared_dir:
+        p.error("need --prepared_dir or --synthetic")
+
+    cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
+    params = init_params(jax.random.key(cfg.seed), cfg)
+
+    # data source ---------------------------------------------------------
+    if args.synthetic:
+        from realtime_yukarin_tpu.training.data import make_batch
+
+        def next_batch(step: int):
+            return make_batch(cfg, args.batch_size,
+                              seconds=args.crop_frames * cfg.dsp.hop
+                              / cfg.dsp.sample_rate,
+                              seed=args.seed + step)
+    else:
+        from realtime_yukarin_tpu.training.dataset import CorpusDataset
+        ds = CorpusDataset(args.prepared_dir, cfg,
+                           crop_frames=args.crop_frames, seed=args.seed)
+        print(f"[train] corpus: {ds.num_utterances} utterance pairs")
+
+        def next_batch(step: int):
+            return ds.sample_batch(args.batch_size)
+
+    # step + state --------------------------------------------------------
+    if args.gan:
+        _, d_params = init_discriminator(jax.random.key(cfg.seed + 1),
+                                         cfg.super_resolution, cfg.dsp)
+        step_fn = jax.jit(make_gan_train_step(cfg, args.adv_weight),
+                          donate_argnums=(0,))
+        state = init_gan_train_state(params, d_params)
+    else:
+        mesh = make_mesh(model_parallel=args.model_parallel)
+        step_fn, shard_state, shard_batch = make_sharded_train_step(cfg, mesh)
+        state = shard_state(init_train_state(params))
+
+    start_step = 0
+    if args.ckpt_dir:
+        state, start_step = restore_checkpoint(args.ckpt_dir, state)
+        if start_step:
+            print(f"[train] resumed from step {start_step}")
+
+    # loop ----------------------------------------------------------------
+    t0 = time.perf_counter()
+    for step in range(start_step, args.steps):
+        batch = next_batch(step)
+        if not args.gan:
+            batch = shard_batch(batch)
+        state, metrics = step_fn(state, batch)
+        if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
+            m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            rate = (step + 1 - start_step) / (time.perf_counter() - t0)
+            msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+            print(f"[train] step {step + 1}/{args.steps} {msg} "
+                  f"({rate:.2f} it/s)")
+        if args.ckpt_dir and ((step + 1) % args.ckpt_every == 0
+                              or step + 1 == args.steps):
+            path = save_checkpoint(args.ckpt_dir, state, step + 1)
+            print(f"[train] checkpoint -> {path}")
+
+    if args.export_params:
+        final = state.params
+        save_params(jax.tree.map(np.asarray, final), args.export_params)
+        print(f"[train] inference params -> {args.export_params}")
+
+
+if __name__ == "__main__":
+    main()

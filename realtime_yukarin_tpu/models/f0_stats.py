@@ -25,7 +25,11 @@ class F0Statistics:
 
     @classmethod
     def from_f0(cls, f0: np.ndarray) -> "F0Statistics":
-        logs = np.log(f0[f0 > 0])
+        voiced = f0[f0 > 0]
+        if voiced.size == 0:
+            raise ValueError(
+                "no voiced frames — cannot estimate F0 statistics")
+        logs = np.log(voiced)
         return cls(mean=float(logs.mean()), std=float(logs.std()))
 
     @classmethod

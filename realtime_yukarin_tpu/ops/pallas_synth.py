@@ -56,16 +56,9 @@ def _kernel(amps_l_ref, amps_r_ref, phi_ref, frac_ref, out_ref):
     out_ref[:, :] = acc_l * (1.0 - frac) + acc_r * frac
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def harmonic_bank(amps_l: jnp.ndarray, amps_r: jnp.ndarray,
-                  phi: jnp.ndarray, frac: jnp.ndarray,
-                  interpret: bool = False) -> jnp.ndarray:
-    """Render sum_h lerp(aL, aR)[n] * sin(h * phi[n]) per frame row.
-
-    amps_l/amps_r: [R, H] harmonic amplitudes at the frame's left/right
-    edge; phi: [R, hop] per-sample fundamental phase; frac: [R, hop]
-    interpolation weight in (0, 1].  Returns [R, hop].
-    """
+def _harmonic_bank_impl(amps_l: jnp.ndarray, amps_r: jnp.ndarray,
+                        phi: jnp.ndarray, frac: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
     R, H = amps_l.shape
     hop = phi.shape[1]
     hop_pad = -(-hop // LANE) * LANE
@@ -100,6 +93,42 @@ def harmonic_bank(amps_l: jnp.ndarray, amps_r: jnp.ndarray,
         interpret=interpret,
     )(amps_l_p, amps_r_p, phi_p, frac_p)
     return out[:R, :hop]
+
+
+# Training differentiates through the renderer (multi-resolution STFT loss,
+# training/train_step.py); Pallas kernels have no automatic VJP, so the
+# backward pass reuses the einsum reference formulation below — identical
+# math, and the O(R*hop*H) sin tensor only materializes when training.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _harmonic_bank_diff(interpret, amps_l, amps_r, phi, frac):
+    return _harmonic_bank_impl(amps_l, amps_r, phi, frac, interpret)
+
+
+def _hb_fwd(interpret, amps_l, amps_r, phi, frac):
+    return (_harmonic_bank_impl(amps_l, amps_r, phi, frac, interpret),
+            (amps_l, amps_r, phi, frac))
+
+
+def _hb_bwd(interpret, res, g):
+    _, vjp = jax.vjp(harmonic_bank_xla, *res)
+    return vjp(g)
+
+
+_harmonic_bank_diff.defvjp(_hb_fwd, _hb_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def harmonic_bank(amps_l: jnp.ndarray, amps_r: jnp.ndarray,
+                  phi: jnp.ndarray, frac: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Render sum_h lerp(aL, aR)[n] * sin(h * phi[n]) per frame row.
+
+    amps_l/amps_r: [R, H] harmonic amplitudes at the frame's left/right
+    edge; phi: [R, hop] per-sample fundamental phase; frac: [R, hop]
+    interpolation weight in (0, 1].  Returns [R, hop].  Differentiable
+    (custom VJP via the einsum reference).
+    """
+    return _harmonic_bank_diff(interpret, amps_l, amps_r, phi, frac)
 
 
 def harmonic_bank_xla(amps_l, amps_r, phi, frac):

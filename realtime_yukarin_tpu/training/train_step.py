@@ -104,6 +104,87 @@ def init_train_state(params: dict, optimizer=None) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
+# ---------------------------------------------------------------------------
+# Adversarial stage-2 training (become-yukarin trains SR with a patch
+# discriminator, SURVEY.md §2b).  One jitted step updates generator (all
+# three stages, regression + adversarial term) and discriminator together.
+# ---------------------------------------------------------------------------
+
+class GanTrainState(NamedTuple):
+    params: dict              # generator stages (stage1/stage2/vocoder/...)
+    d_params: dict            # discriminator
+    opt_state: optax.OptState
+    d_opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def _log_env(env: jnp.ndarray) -> jnp.ndarray:
+    return jnp.log(jnp.maximum(env, 1e-12))
+
+
+def _predict_env(params: dict, batch: Batch, cfg: Config) -> jnp.ndarray:
+    mc_pred = convert_mc(params["stage1"], batch.mc_src, batch.f0_src,
+                         cfg.acoustic, cfg.dsp)
+    env_low = decode_mcep(mc_pred, cfg.dsp)
+    return refine_envelope(params["stage2"], env_low,
+                           cfg.super_resolution, cfg.dsp)
+
+
+def make_gan_train_step(cfg: Config, adv_weight: float = 0.1,
+                        g_optimizer=None, d_optimizer=None):
+    """Build step(state, batch) -> (state', metrics) with hinge-GAN on the
+    predicted envelope plus the regression/STFT losses of ``loss_fn``."""
+    from realtime_yukarin_tpu.models.discriminator import (
+        EnvelopeDiscriminator, d_hinge_loss, g_hinge_loss)
+
+    g_opt = g_optimizer or make_optimizer()
+    d_opt = d_optimizer or make_optimizer(2e-4)
+    disc = EnvelopeDiscriminator()
+
+    def g_loss(params, d_params, batch):
+        base, metrics = loss_fn(params, batch, cfg)
+        env_pred = _predict_env(params, batch, cfg)
+        fake_logits = disc.apply(d_params, _log_env(env_pred))
+        l_adv = g_hinge_loss(fake_logits)
+        metrics = dict(metrics, adv=l_adv)
+        return base + adv_weight * l_adv, metrics
+
+    def d_loss(d_params, params, batch):
+        env_pred = jax.lax.stop_gradient(_predict_env(params, batch, cfg))
+        real = disc.apply(d_params, _log_env(batch.env_tgt))
+        fake = disc.apply(d_params, _log_env(env_pred))
+        return d_hinge_loss(real, fake)
+
+    def train_step(state: GanTrainState, batch: Batch
+                   ) -> tuple[GanTrainState, dict]:
+        (_, metrics), g_grads = jax.value_and_grad(g_loss, has_aux=True)(
+            state.params, state.d_params, batch)
+        ld, d_grads = jax.value_and_grad(d_loss)(state.d_params,
+                                                 state.params, batch)
+        g_updates, opt_state = g_opt.update(g_grads, state.opt_state,
+                                            state.params)
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
+                                              state.d_params)
+        return GanTrainState(
+            params=optax.apply_updates(state.params, g_updates),
+            d_params=optax.apply_updates(state.d_params, d_updates),
+            opt_state=opt_state, d_opt_state=d_opt_state,
+            step=state.step + 1,
+        ), dict(metrics, d_loss=ld)
+
+    return train_step
+
+
+def init_gan_train_state(params: dict, d_params: dict, g_optimizer=None,
+                         d_optimizer=None) -> GanTrainState:
+    g_opt = g_optimizer or make_optimizer()
+    d_opt = d_optimizer or make_optimizer(2e-4)
+    return GanTrainState(params=params, d_params=d_params,
+                         opt_state=g_opt.init(params),
+                         d_opt_state=d_opt.init(d_params),
+                         step=jnp.zeros((), jnp.int32))
+
+
 def make_sharded_train_step(cfg: Config, mesh, optimizer=None):
     """jit the train step with explicit input shardings: batch over 'data',
     params/opt-state over the model-sharding rule."""

@@ -1,0 +1,243 @@
+"""Training-subsystem tests: DTW alignment, corpus prep, dataset, GAN step,
+checkpoint/resume, eval metrics.  All on the CPU test platform
+(conftest.py); tiny model configs keep compile time low."""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from realtime_yukarin_tpu.config import (AcousticModelConfig, Config,
+                                         SuperResolutionConfig,
+                                         VocoderNNConfig)
+from realtime_yukarin_tpu.dsp.world import AcousticFeature
+from realtime_yukarin_tpu.models.discriminator import init_discriminator
+from realtime_yukarin_tpu.models.voice_changer import init_params
+from realtime_yukarin_tpu.training import evaluate
+from realtime_yukarin_tpu.training.align import (align_pair, dtw_path,
+                                                 warp_rows)
+from realtime_yukarin_tpu.training.checkpoint import (latest_checkpoint,
+                                                      restore_checkpoint,
+                                                      save_checkpoint)
+from realtime_yukarin_tpu.training.corpus import prepare_corpus
+from realtime_yukarin_tpu.training.data import make_batch, synth_utterance
+from realtime_yukarin_tpu.training.dataset import CorpusDataset
+from realtime_yukarin_tpu.training.train_step import (
+    init_gan_train_state, init_train_state, make_gan_train_step,
+    make_train_step)
+from realtime_yukarin_tpu.utils.audio_io import write_wav
+
+
+def tiny_config() -> Config:
+    return Config(
+        acoustic=AcousticModelConfig(hidden=32, num_blocks=2),
+        super_resolution=SuperResolutionConfig(hidden=64, num_blocks=2),
+        vocoder_nn=VocoderNNConfig(hidden=32, num_blocks=2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DTW alignment
+# ---------------------------------------------------------------------------
+
+def test_dtw_identity():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((40, 8)), jnp.float32)
+    idx = dtw_path(x, x)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(40))
+
+
+def test_dtw_recovers_known_warp():
+    """Target = source with some frames repeated (target slower); the path
+    must map each source frame back to a frame with identical content."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((30, 8)).astype(np.float32)
+    # build y by repeating every third frame (length 40)
+    reps = np.ones(30, np.int64)
+    reps[::3] = 2
+    y = np.repeat(x, reps, axis=0)
+    idx = np.asarray(dtw_path(jnp.asarray(x), jnp.asarray(y)))
+    # monotonic with steps in {0,1,2}, endpoints pinned
+    steps = np.diff(idx)
+    assert idx[0] == 0 and idx[-1] == len(y) - 1
+    assert steps.min() >= 0 and steps.max() <= 2
+    # content recovered exactly
+    np.testing.assert_allclose(y[idx], x, atol=1e-6)
+
+
+def test_warp_rows_and_align_pair_shapes():
+    rng = np.random.default_rng(2)
+    Fx, Fy = 25, 32
+    mc_src = jnp.asarray(rng.standard_normal((Fx, 10)), jnp.float32)
+    tgt = AcousticFeature(
+        f0=jnp.asarray(rng.uniform(100, 200, Fy), jnp.float32),
+        env=jnp.asarray(rng.uniform(0.1, 1, (Fy, 17)), jnp.float32),
+        ap=jnp.asarray(rng.uniform(0, 1, (Fy, 3)), jnp.float32),
+        mc=jnp.asarray(rng.standard_normal((Fy, 10)), jnp.float32))
+    out = align_pair(mc_src, tgt)
+    assert out.f0.shape == (Fx,)
+    assert out.env.shape == (Fx, 17)
+    assert out.ap.shape == (Fx, 3)
+    assert out.mc.shape == (Fx, 10)
+    np.testing.assert_allclose(
+        np.asarray(warp_rows(tgt.f0, jnp.arange(5))), np.asarray(tgt.f0[:5]))
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep + dataset
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def prepared_dir(tmp_path_factory) -> pathlib.Path:
+    cfg = tiny_config()
+    root = tmp_path_factory.mktemp("corpus")
+    src_d, tgt_d, out_d = root / "src", root / "tgt", root / "prep"
+    src_d.mkdir()
+    tgt_d.mkdir()
+    rng = np.random.default_rng(3)
+    fs = cfg.dsp.sample_rate
+    for stem in ("utt1", "utt2"):
+        # long enough that the random voicing gate is open somewhere
+        src = synth_utterance(rng, 0.60, fs, 140.0, 0.1)
+        tgt = synth_utterance(rng, 0.66, fs, 200.0, 0.3)
+        write_wav(str(src_d / f"{stem}.wav"), src, fs)
+        write_wav(str(tgt_d / f"{stem}.wav"), tgt, fs)
+    # an unpaired file must be ignored
+    write_wav(str(src_d / "orphan.wav"),
+              synth_utterance(rng, 0.2, fs, 150.0, 0.1), fs)
+    summary = prepare_corpus(str(src_d), str(tgt_d), str(out_d), cfg,
+                             bucket_frames=32, verbose=False)
+    assert summary["num_pairs"] == 2
+    return out_d
+
+
+def test_prepare_corpus_outputs(prepared_dir):
+    files = {p.name for p in prepared_dir.glob("*.npz")}
+    assert {"utt1.npz", "utt2.npz", "stats_input.npz",
+            "stats_target.npz"} <= files
+    d = dict(np.load(prepared_dir / "utt1.npz"))
+    F = d["f0_src"].shape[0]
+    # aligned target lives on the source timeline
+    assert d["f0_tgt"].shape == (F,)
+    assert d["mc_tgt"].shape == d["mc_src"].shape
+    assert d["env_tgt"].shape[0] == F
+    # speaker F0 stats reflect the f0_ratio-ish difference
+    from realtime_yukarin_tpu.models.f0_stats import F0Statistics
+    si = F0Statistics.load(prepared_dir / "stats_input.npz")
+    st = F0Statistics.load(prepared_dir / "stats_target.npz")
+    assert st.mean > si.mean          # target speaker is higher-pitched
+
+
+def test_corpus_dataset_batches(prepared_dir):
+    cfg = tiny_config()
+    ds = CorpusDataset(str(prepared_dir), cfg, crop_frames=20, seed=0)
+    assert ds.num_utterances == 2
+    b = ds.sample_batch(3)
+    F, hop = 20, cfg.dsp.hop
+    assert b.f0_src.shape == (3, F + 1)
+    assert b.mc_src.shape == (3, F + 1, cfg.dsp.mc_dim)
+    assert b.env_tgt.shape == (3, F + 1, cfg.dsp.spec_bins)
+    assert b.wave_tgt.shape == (3, F * hop)
+    assert np.isfinite(np.asarray(b.wave_tgt)).all()
+    assert float(jnp.max(jnp.abs(b.wave_tgt))) > 1e-4   # actually rendered
+
+
+def test_corpus_train_step_runs(prepared_dir):
+    cfg = tiny_config()
+    ds = CorpusDataset(str(prepared_dir), cfg, crop_frames=16, seed=1)
+    params = init_params(jax.random.key(0), cfg)
+    step = jax.jit(make_train_step(cfg))
+    state = init_train_state(params)
+    state, m = step(state, ds.sample_batch(2))
+    assert np.isfinite(float(m["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# GAN training
+# ---------------------------------------------------------------------------
+
+def test_gan_step_updates_both_and_decreases_d_loss():
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    _, d_params = init_discriminator(jax.random.key(1),
+                                     cfg.super_resolution, cfg.dsp)
+    state = init_gan_train_state(params, d_params)
+    step = jax.jit(make_gan_train_step(cfg, adv_weight=0.05))
+    batch = make_batch(cfg, 2, seconds=0.1, seed=0)
+
+    d0 = jax.tree.map(np.asarray, state.d_params)
+    g0 = jax.tree.map(np.asarray, state.params)
+    d_losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        d_losses.append(float(m["d_loss"]))
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["adv"]))
+    # both players actually moved (any leaf; zero-init heads may have some
+    # exactly-zero-grad leaves early on)
+    def any_moved(before, after):
+        leaves = jax.tree_util.tree_leaves(jax.tree.map(
+            lambda a, b: np.any(a != np.asarray(b)), before, after))
+        return any(bool(x) for x in leaves)
+
+    assert any_moved(d0, state.d_params)
+    assert any_moved(g0["stage1"], state.params["stage1"])
+    assert any_moved(g0["stage2"], state.params["stage2"])
+    # discriminator improves on a fixed batch
+    assert d_losses[-1] < d_losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_roundtrip_and_retention(tmp_path):
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    state = init_train_state(params)
+    template = init_train_state(init_params(jax.random.key(9), cfg))
+
+    for s in (10, 20, 30, 40):
+        save_checkpoint(tmp_path, state._replace(
+            step=jnp.asarray(s, jnp.int32)), s, keep=2)
+    # retention: only the last two remain
+    kept = sorted(p.name for p in tmp_path.glob("ckpt_*.msgpack"))
+    assert kept == ["ckpt_30.msgpack", "ckpt_40.msgpack"]
+    assert latest_checkpoint(tmp_path).name == "ckpt_40.msgpack"
+
+    restored, step = restore_checkpoint(tmp_path, template)
+    assert step == 40
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.params, restored.params)
+
+    # empty dir -> template unchanged, step 0
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    same, step0 = restore_checkpoint(empty, template)
+    assert step0 == 0 and same is template
+
+
+# ---------------------------------------------------------------------------
+# Eval metrics
+# ---------------------------------------------------------------------------
+
+def test_mcd_zero_for_identical_and_positive_otherwise():
+    rng = np.random.default_rng(0)
+    mc = jnp.asarray(rng.standard_normal((50, 10)), jnp.float32)
+    assert float(evaluate.mcd_db(mc, mc)) == 0.0
+    assert float(evaluate.mcd_db(mc, mc + 0.1)) > 0.0
+
+
+def test_f0_metrics():
+    f0a = jnp.asarray([100.0, 0.0, 150.0, 200.0])
+    f0b = jnp.asarray([100.0, 0.0, 150.0, 0.0])
+    m = evaluate.f0_metrics(f0a, f0b)
+    assert float(m["logf0_rmse"]) == pytest.approx(0.0, abs=1e-6)
+    assert float(m["vuv_error"]) == pytest.approx(0.25)
