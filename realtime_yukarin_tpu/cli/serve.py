@@ -56,12 +56,21 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--neural_vocoder", action="store_true")
     p.add_argument("--no_sr", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pipelined", action="store_true",
+                   help="dispatch-ahead pipelined server (native ring "
+                        "buffers, device double-buffering)")
+    p.add_argument("--depth", type=int, default=2,
+                   help="in-flight device chunks in --pipelined mode")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
     params = init_params(jax.random.key(cfg.seed), cfg)
     if args.params_path:
         params = load_params(params, args.params_path)
+
+    if args.pipelined:
+        _serve_pipelined(args, cfg, params)
+        return
 
     stream = VoiceChangerStream(params, cfg, use_sr=not args.no_sr,
                                 use_neural_vocoder=args.neural_vocoder,
@@ -107,6 +116,54 @@ def main(argv: list[str] | None = None) -> None:
         write_raw_f32(sys.stdout.buffer, tail)
 
     print(f"[serve] {_metrics_report(lat_ms)}", file=sys.stderr)
+
+
+def _serve_pipelined(args, cfg: Config, params: dict) -> None:
+    """Dispatch-ahead mode: audio edges on native ring buffers, up to
+    --depth chunks in flight on the device (runtime/pipelined.py)."""
+    from realtime_yukarin_tpu.runtime.pipelined import PipelinedStream
+
+    with PipelinedStream(params, cfg, use_sr=not args.no_sr,
+                         use_neural_vocoder=args.neural_vocoder,
+                         seed=args.seed, depth=args.depth) as stream:
+        S = stream.chunk_samples
+        fs = cfg.dsp.sample_rate
+        print(f"[serve] pipelined depth={args.depth} chunk={S} samples "
+              f"({1000 * S / fs:.0f} ms), algorithmic latency="
+              f"{stream.latency_samples} samples", file=sys.stderr)
+        outputs: list[np.ndarray] = []
+
+        def drain(n: int | None = None) -> None:
+            avail = stream.output_available() if n is None else n
+            if avail <= 0:
+                return
+            y = stream.pop_output(avail)
+            if args.output_wav:
+                outputs.append(y)
+            else:
+                write_raw_f32(sys.stdout.buffer, y)
+
+        if args.input_wav:
+            x, _ = read_wav(args.input_wav, target_rate=fs)
+            for k in range(len(x) // S):
+                if args.realtime_factor > 0:
+                    time.sleep(S / fs / args.realtime_factor)
+                stream.push_input(x[k * S: (k + 1) * S])
+                drain()
+        else:
+            while True:
+                chunk = read_raw_f32(sys.stdin.buffer, S)
+                if chunk is None:
+                    break
+                stream.push_input(chunk)
+                drain()
+        stream.flush()
+        drain()
+        if args.output_wav:
+            y = (np.concatenate(outputs) if outputs
+                 else np.zeros(0, np.float32))
+            write_wav(args.output_wav, y, fs)
+        print(f"[serve] {stream.metrics.to_json()}", file=sys.stderr)
 
 
 if __name__ == "__main__":
