@@ -78,7 +78,8 @@ def main() -> None:
     cfg = Config()
     params = init_params(jax.random.key(0), cfg)
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    num_streams = 64 if on_tpu else 8
+    # 128 streams saturates one chip (~500x realtime); 64 leaves ~10% idle
+    num_streams = 128 if on_tpu else 8
     steps = 50 if on_tpu else 5
     iters = 50 if on_tpu else 5
 

@@ -61,6 +61,9 @@ def main(argv: list[str] | None = None) -> None:
                         "buffers, device double-buffering)")
     p.add_argument("--depth", type=int, default=2,
                    help="in-flight device chunks in --pipelined mode")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler (XProf) trace of the serving "
+                        "loop here")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
@@ -68,8 +71,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.params_path:
         params = load_params(params, args.params_path)
 
+    from realtime_yukarin_tpu.utils.profiling import trace
     if args.pipelined:
-        _serve_pipelined(args, cfg, params)
+        with trace(args.profile_dir):
+            _serve_pipelined(args, cfg, params)
         return
 
     stream = VoiceChangerStream(params, cfg, use_sr=not args.no_sr,
@@ -94,19 +99,20 @@ def main(argv: list[str] | None = None) -> None:
         else:
             write_raw_f32(sys.stdout.buffer, y)
 
-    if args.input_wav:
-        x, _ = read_wav(args.input_wav, target_rate=fs)
-        n_chunks = len(x) // S
-        for k in range(n_chunks):
-            if args.realtime_factor > 0:
-                time.sleep(S / fs / args.realtime_factor)
-            push(x[k * S: (k + 1) * S])
-    else:
-        while True:
-            chunk = read_raw_f32(sys.stdin.buffer, S)
-            if chunk is None:
-                break
-            push(chunk)
+    with trace(args.profile_dir):
+        if args.input_wav:
+            x, _ = read_wav(args.input_wav, target_rate=fs)
+            n_chunks = len(x) // S
+            for k in range(n_chunks):
+                if args.realtime_factor > 0:
+                    time.sleep(S / fs / args.realtime_factor)
+                push(x[k * S: (k + 1) * S])
+        else:
+            while True:
+                chunk = read_raw_f32(sys.stdin.buffer, S)
+                if chunk is None:
+                    break
+                push(chunk)
 
     tail = stream.flush()
     if args.output_wav:

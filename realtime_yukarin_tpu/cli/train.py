@@ -31,6 +31,8 @@ from realtime_yukarin_tpu.models.discriminator import init_discriminator
 from realtime_yukarin_tpu.models.voice_changer import (init_params,
                                                        save_params)
 from realtime_yukarin_tpu.parallel.mesh import make_mesh
+from realtime_yukarin_tpu.parallel.multihost import (broadcast_from_host0,
+                                                     init_multihost)
 from realtime_yukarin_tpu.training.checkpoint import (restore_checkpoint,
                                                       save_checkpoint)
 from realtime_yukarin_tpu.training.train_step import (
@@ -59,28 +61,44 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--coordinator_address", default=None,
+                   help="host0 addr:port for multi-host (DCN) training; "
+                        "all hosts run this same command")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args(argv)
 
     if not args.synthetic and not args.prepared_dir:
         p.error("need --prepared_dir or --synthetic")
 
+    proc_id, proc_count = init_multihost(args.coordinator_address,
+                                         args.num_processes, args.process_id)
+    is_host0 = proc_id == 0
+    if proc_count > 1 and is_host0:
+        print(f"[train] multi-host: {proc_count} processes, "
+              f"{jax.device_count()} devices")
+
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
-    params = init_params(jax.random.key(cfg.seed), cfg)
+    params = broadcast_from_host0(init_params(jax.random.key(cfg.seed), cfg))
 
     # data source ---------------------------------------------------------
     if args.synthetic:
         from realtime_yukarin_tpu.training.data import make_batch
 
         def next_batch(step: int):
+            # per-host seed offset: each host contributes a distinct
+            # local shard of the global batch
             return make_batch(cfg, args.batch_size,
                               seconds=args.crop_frames * cfg.dsp.hop
                               / cfg.dsp.sample_rate,
-                              seed=args.seed + step)
+                              seed=args.seed + step + proc_id * 1_000_003)
     else:
         from realtime_yukarin_tpu.training.dataset import CorpusDataset
         ds = CorpusDataset(args.prepared_dir, cfg,
-                           crop_frames=args.crop_frames, seed=args.seed)
-        print(f"[train] corpus: {ds.num_utterances} utterance pairs")
+                           crop_frames=args.crop_frames,
+                           seed=args.seed + proc_id)
+        if is_host0:
+            print(f"[train] corpus: {ds.num_utterances} utterance pairs")
 
         def next_batch(step: int):
             return ds.sample_batch(args.batch_size)
@@ -113,15 +131,16 @@ def main(argv: list[str] | None = None) -> None:
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             m = {k: float(np.asarray(v)) for k, v in metrics.items()}
             rate = (step + 1 - start_step) / (time.perf_counter() - t0)
-            msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
-            print(f"[train] step {step + 1}/{args.steps} {msg} "
-                  f"({rate:.2f} it/s)")
+            if is_host0:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                print(f"[train] step {step + 1}/{args.steps} {msg} "
+                      f"({rate:.2f} it/s)")
         if args.ckpt_dir and ((step + 1) % args.ckpt_every == 0
-                              or step + 1 == args.steps):
+                              or step + 1 == args.steps) and is_host0:
             path = save_checkpoint(args.ckpt_dir, state, step + 1)
             print(f"[train] checkpoint -> {path}")
 
-    if args.export_params:
+    if args.export_params and is_host0:
         final = state.params
         save_params(jax.tree.map(np.asarray, final), args.export_params)
         print(f"[train] inference params -> {args.export_params}")

@@ -200,6 +200,11 @@ def make_sharded_train_step(cfg: Config, mesh, optimizer=None):
         )
 
     def shard_batch(batch: Batch) -> Batch:
-        return jax.device_put(batch, shard_batch_pytree(mesh, batch))
+        # host-local shard -> global jax.Array; single-process this is a
+        # plain device_put with the 'data' sharding, multi-host it stitches
+        # each host's slice into one global batch (parallel.multihost).
+        from realtime_yukarin_tpu.parallel.multihost import \
+            host_local_to_global
+        return host_local_to_global(mesh, batch)
 
     return jax.jit(step, donate_argnums=(0,)), shard_state, shard_batch

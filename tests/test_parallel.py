@@ -112,3 +112,31 @@ def test_stream_reset():
     server.reset_stream(3)
     carry3 = jax.tree.map(lambda c: np.asarray(c[3]), server._carries)
     assert float(np.abs(carry3.wave_buf).max()) == 0.0
+
+
+def test_multihost_helpers_single_process():
+    """multihost glue runs identically at 1 host: init is a no-op,
+    host_local_to_global == device_put with the 'data' sharding, and the
+    global batch drives the sharded train step."""
+    from realtime_yukarin_tpu.parallel.multihost import (
+        broadcast_from_host0, global_batch_size, host_local_to_global,
+        init_multihost, sync_hosts)
+
+    pid, pcount = init_multihost()          # no coordinator -> no-op
+    assert (pid, pcount) == (0, 1)
+    assert global_batch_size(4) == 4
+    sync_hosts("test")                      # no-op single-process
+
+    cfg = tiny_config()
+    mesh = make_mesh(model_parallel=2)
+    batch = make_batch(cfg, batch_size=4, seconds=0.2, seed=0)
+    gbatch = host_local_to_global(mesh, batch)
+    for loc, glob in zip(jax.tree.leaves(batch), jax.tree.leaves(gbatch)):
+        assert glob.sharding.spec[0] == "data"
+        np.testing.assert_array_equal(np.asarray(glob), np.asarray(loc))
+
+    params = broadcast_from_host0(init_params(jax.random.key(0), cfg))
+    step, shard_state, _ = make_sharded_train_step(cfg, mesh)
+    state = shard_state(init_train_state(params))
+    state, metrics = step(state, gbatch)
+    assert np.isfinite(float(metrics["loss"]))
