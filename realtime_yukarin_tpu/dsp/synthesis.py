@@ -69,8 +69,9 @@ def harmonic_amplitudes(f0: jnp.ndarray, env: jnp.ndarray,
     f0f = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
     freqs = h_idx[None, :] * f0f[:, None]                     # [F', H]
     pos = jnp.clip(freqs * N / fs, 0.0, K - 1.0)
-    e_h = lerp_rows(env, pos)
-    ap_h = lerp_rows(ap_full, pos)
+    # env and ap share positions: one stacked interpolation (one one-hot)
+    both = lerp_rows(jnp.stack([env, ap_full], axis=-1), pos)
+    e_h, ap_h = both[..., 0], both[..., 1]
     alias_ok = (freqs < prim.HARMONIC_NYQUIST_FRACTION * fs / 2.0
                 ).astype(env.dtype)
     # envelope at a harmonic is mainlobe power averaged over the width-f0
