@@ -64,6 +64,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler (XProf) trace of the serving "
                         "loop here")
+    p.add_argument("--socket", type=int, default=None, metavar="PORT",
+                   help="multi-client TCP server mode: N concurrent raw-f32 "
+                        "PCM streams, one batched device step per tick")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--num_streams", type=int, default=8,
+                   help="slots in --socket mode (rounded to the mesh)")
+    p.add_argument("--realtime_factor_serve", type=float, default=0.0,
+                   help="throttle the --socket ticker (0 = free-running)")
     args = p.parse_args(argv)
 
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
@@ -72,6 +80,27 @@ def main(argv: list[str] | None = None) -> None:
         params = load_params(params, args.params_path)
 
     from realtime_yukarin_tpu.utils.profiling import trace
+    if args.socket is not None:
+        from realtime_yukarin_tpu.runtime.socket_server import \
+            SocketVoiceServer
+        with trace(args.profile_dir), SocketVoiceServer(
+                params, cfg, host=args.host, port=args.socket,
+                num_streams=args.num_streams,
+                realtime_factor=args.realtime_factor_serve,
+                use_sr=not args.no_sr,
+                use_neural_vocoder=args.neural_vocoder,
+                seed=args.seed) as srv:
+            print(f"[serve] socket server on {srv.address}, "
+                  f"{args.num_streams} stream slots", file=sys.stderr)
+            try:
+                while True:
+                    time.sleep(10)
+                    print(f"[serve] {srv.metrics.to_json()}",
+                          file=sys.stderr)
+            except KeyboardInterrupt:
+                pass
+        return
+
     if args.pipelined:
         with trace(args.profile_dir):
             _serve_pipelined(args, cfg, params)

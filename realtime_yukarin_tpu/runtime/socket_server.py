@@ -1,0 +1,276 @@
+"""Multi-client TCP serving front-end over the batched device step.
+
+The reference serves exactly one caller: the desktop mic (SURVEY.md §3.1
+run.py).  This server makes BASELINE config #5 a product surface: N
+concurrent callers connect over TCP, each streams raw float32 mono PCM at
+``cfg.dsp.sample_rate`` and reads converted PCM back; ALL active streams
+advance together in ONE BatchedServer device step per tick.
+
+Wire protocol (deliberately trivial — any client that can open a socket
+and write floats can use it):
+  client -> server   raw little-endian float32 PCM, any write sizes
+  client EOF (shutdown(SHUT_WR)) -> server drains algorithmic latency,
+  sends the tail, closes.
+  server -> client   raw little-endian float32 converted PCM
+
+Threading topology (the reference's 3-process queue pipeline reborn as
+SPSC edges around one device ticker):
+  * per connection: a reader thread (socket -> native input ring) and a
+    writer thread (native output ring -> socket) — each ring has exactly
+    one producer and one consumer, race-free by construction
+  * one ticker thread: pops a chunk per active slot (silence on underrun,
+    counted — the reference's realtime contract), runs the batched step,
+    pushes per-slot outputs
+  * slots are fixed (num_streams); a new connection claims a free slot and
+    resets its device carry (BatchedServer.reset_stream — drop/rejoin,
+    SURVEY.md §5), a full server refuses with immediate close.
+
+``realtime_factor`` throttles the ticker (1.0 = wall-clock realtime,
+0 = free-running for offline/batch use).
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import numpy as np
+
+from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.parallel.serving import BatchedServer
+from realtime_yukarin_tpu.runtime import RingBuffer
+from realtime_yukarin_tpu.utils.metrics import ServingMetrics
+
+
+class _Slot:
+    def __init__(self, capacity: int):
+        self.in_rb = RingBuffer(capacity)
+        self.out_rb = RingBuffer(capacity)
+        self.active = False          # owned by server lock
+        self.eof = False             # reader saw client EOF
+        self.drain_left = 0          # silence chunks still owed after EOF
+        self.done = threading.Event()  # tail fully pushed to out ring
+
+
+class SocketVoiceServer:
+    """Serve ``num_streams`` concurrent conversion streams over TCP."""
+
+    def __init__(self, params: dict, cfg: Config, host: str = "127.0.0.1",
+                 port: int = 0, num_streams: int = 8,
+                 realtime_factor: float = 0.0, use_sr: bool = True,
+                 use_neural_vocoder: bool = False, ring_seconds: float = 8.0,
+                 seed: int = 0):
+        self._cfg = cfg
+        self._server = BatchedServer(params, cfg, num_streams=num_streams,
+                                     use_sr=use_sr,
+                                     use_neural_vocoder=use_neural_vocoder,
+                                     seed=seed)
+        self._S = self._server.chunk_samples
+        self._n_drain = -(-self._server.latency_samples // self._S) + 1
+        self._rt = realtime_factor
+        cap = int(ring_seconds * cfg.dsp.sample_rate)
+        self._slots = [_Slot(cap) for _ in range(num_streams)]
+        self._lock = threading.Lock()
+        # Serializes ALL device work: the accept thread's reset_stream must
+        # never overlap the ticker's step — the step donates the carry
+        # buffer a concurrent reset would still be reading (and concurrent
+        # sharded CPU executables deadlock the in-process collectives).
+        self._dev_lock = threading.Lock()
+        self.metrics = ServingMetrics()
+
+        # warm up the compile before accepting traffic
+        self._server.step(np.zeros((num_streams, self._S), np.float32))
+
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(num_streams)
+        self.address = self._sock.getsockname()
+
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._accept_loop, daemon=True,
+                             name="vc-accept"),
+            threading.Thread(target=self._tick_loop, daemon=True,
+                             name="vc-ticker"),
+        ]
+        for t in self._threads:
+            t.start()
+
+    @property
+    def chunk_samples(self) -> int:
+        return self._S
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        for t in self._threads:
+            t.join(timeout=30.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- accept / per-connection threads -------------------------------------
+
+    def _claim_slot(self) -> int | None:
+        with self._lock:
+            for i, s in enumerate(self._slots):
+                if not s.active:
+                    s.in_rb.pop(s.in_rb.available)   # clear stale data
+                    s.out_rb.pop(s.out_rb.available)
+                    s.eof = False
+                    s.drain_left = self._n_drain
+                    s.done.clear()
+                    with self._dev_lock:
+                        self._server.reset_stream(i)
+                    s.active = True
+                    return i
+        return None
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return                      # socket closed
+            i = self._claim_slot()
+            if i is None:
+                self.metrics.incr("rejected_connections")
+                conn.close()
+                continue
+            self.metrics.incr("accepted_connections")
+            threading.Thread(target=self._conn_reader, args=(conn, i),
+                             daemon=True, name=f"vc-read-{i}").start()
+            threading.Thread(target=self._conn_writer, args=(conn, i),
+                             daemon=True, name=f"vc-write-{i}").start()
+
+    def _conn_reader(self, conn: socket.socket, i: int) -> None:
+        slot = self._slots[i]
+        carry = b""
+        try:
+            while not self._stop.is_set():
+                data = conn.recv(65536)
+                if not data:
+                    break
+                data = carry + data
+                n4 = len(data) // 4 * 4
+                carry = data[n4:]
+                pcm = np.frombuffer(data[:n4], "<f4")
+                while len(pcm) and not self._stop.is_set():
+                    pushed = slot.in_rb.push(pcm)
+                    if pushed < len(pcm):
+                        self.metrics.incr("input_overruns")
+                        time.sleep(0.005)   # ring full: backpressure
+                    pcm = pcm[pushed:]
+        except OSError:
+            pass
+        slot.eof = True
+
+    def _conn_writer(self, conn: socket.socket, i: int) -> None:
+        slot = self._slots[i]
+        try:
+            while not self._stop.is_set():
+                out = slot.out_rb.pop(slot.out_rb.available)
+                if len(out):
+                    conn.sendall(out.astype("<f4").tobytes())
+                elif slot.done.is_set():
+                    break
+                else:
+                    time.sleep(0.002)
+        except OSError:
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+            with self._lock:
+                slot.active = False
+
+    # -- device ticker --------------------------------------------------------
+
+    def _tick_loop(self) -> None:
+        S = self._S
+        period = (S / self._cfg.dsp.sample_rate / self._rt
+                  if self._rt > 0 else 0.0)
+        chunks = np.zeros((len(self._slots), S), np.float32)
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            idle = True
+            live: list[int] = []
+            for i, s in enumerate(self._slots):
+                if not s.active or s.done.is_set():
+                    chunks[i] = 0.0
+                    continue
+                if s.in_rb.available >= S:
+                    chunks[i] = s.in_rb.pop(S)
+                    idle = False
+                    live.append(i)
+                elif s.eof:
+                    # drain: flush remaining input padded with silence,
+                    # then feed latency-draining silence chunks
+                    tailpcm = s.in_rb.pop(s.in_rb.available)
+                    chunks[i] = 0.0
+                    chunks[i, :len(tailpcm)] = tailpcm
+                    if len(tailpcm) == 0:
+                        s.drain_left -= 1
+                    idle = False
+                    live.append(i)
+                else:
+                    chunks[i] = 0.0   # waiting on a slow producer:
+                    self.metrics.incr("tick_underruns")
+                    live.append(i)    # still advance (realtime contract)
+                    idle = False
+            if idle:
+                time.sleep(0.002)
+                continue
+            t_lat = time.perf_counter()
+            with self._dev_lock:
+                out = self._server.step(chunks)
+            self.metrics.chunk_latency.record(
+                1000.0 * (time.perf_counter() - t_lat))
+            for i in live:
+                s = self._slots[i]
+                pushed = s.out_rb.push(out[i])
+                if pushed < S:
+                    self.metrics.incr("output_overruns")
+                if s.eof and s.drain_left <= 0:
+                    s.done.set()
+            if period:
+                dt = time.perf_counter() - t0
+                if dt < period:
+                    time.sleep(period - dt)
+
+
+def convert_over_socket(host: str, port: int, pcm: np.ndarray,
+                        chunk_bytes: int = 32768) -> np.ndarray:
+    """Blocking client helper: stream ``pcm`` to the server, return the
+    converted waveform (reads until server closes)."""
+    data = np.ascontiguousarray(pcm, np.float32).astype("<f4").tobytes()
+    out = bytearray()
+    with socket.create_connection((host, port)) as s:
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+        def pump():
+            for off in range(0, len(data), chunk_bytes):
+                s.sendall(data[off: off + chunk_bytes])
+            s.shutdown(socket.SHUT_WR)
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        while True:
+            b = s.recv(65536)
+            if not b:
+                break
+            out.extend(b)
+        t.join()
+    return np.frombuffer(bytes(out), "<f4")

