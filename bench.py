@@ -31,10 +31,12 @@ from realtime_yukarin_tpu.parallel.serving import BatchedServer
 from realtime_yukarin_tpu.streaming.pipeline import init_stream, streaming_step
 
 
-def bench_throughput(params, cfg, num_streams: int, steps: int) -> float:
+def bench_throughput(params, cfg, num_streams: int, steps: int,
+                     use_neural_vocoder: bool = False) -> float:
     """Returns audio-seconds processed per wall second (one mesh)."""
     mesh = make_mesh(model_parallel=1)
-    server = BatchedServer(params, cfg, num_streams=num_streams, mesh=mesh)
+    server = BatchedServer(params, cfg, num_streams=num_streams, mesh=mesh,
+                           use_neural_vocoder=use_neural_vocoder)
     S = server.chunk_samples
     rng = np.random.default_rng(0)
     chunks = jax.device_put(
@@ -85,6 +87,9 @@ def main() -> None:
 
     throughput = bench_throughput(params, cfg, num_streams, steps)
     p50, p99 = bench_latency(params, cfg, iters)
+    # BASELINE config #4: neural vocoder stage replacing WORLD-style synth
+    nv_throughput = bench_throughput(params, cfg, num_streams, steps,
+                                     use_neural_vocoder=True)
 
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
@@ -93,6 +98,7 @@ def main() -> None:
         "vs_baseline": round(throughput / 100.0, 3),
         "p50_chunk_latency_ms": round(p50, 2),
         "p99_chunk_latency_ms": round(p99, 2),
+        "neural_vocoder_x_realtime": round(nv_throughput, 2),
         "num_streams": num_streams,
         "platform": jax.devices()[0].platform,
     }))

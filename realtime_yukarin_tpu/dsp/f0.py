@@ -15,11 +15,13 @@ Semantics match ``golden.reference.estimate_f0`` allclose.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from realtime_yukarin_tpu.config import DspConfig
 from realtime_yukarin_tpu.dsp import primitives as prim
 from realtime_yukarin_tpu.dsp.framing import extract_centered_frames, median3
+from realtime_yukarin_tpu.ops import dft
 
 
 def _next_pow2(n: int) -> int:
@@ -34,7 +36,8 @@ def difference_function(frames: jnp.ndarray, window: int, lag_max: int
     """d[l] = sum_{n<W} (x[n]-x[n+l])^2 for l in [0, lag_max], per row.
 
     frames: [F, frame_len] with frame_len >= window + lag_max.
-    Uses  d(l) = e0 + e(l) - 2 c(l)  with c via FFT cross-correlation.
+    Uses  d(l) = e0 + e(l) - 2 c(l)  with c as a DFT-matmul
+    cross-correlation (ops.dft — no XLA TPU FFT on the hot path).
     """
     F, FL = frames.shape
     # n + l <= window-1 + lag_max < frame_len, so padding to the next pow2
@@ -43,13 +46,12 @@ def difference_function(frames: jnp.ndarray, window: int, lag_max: int
     a = jnp.zeros((F, P2), frames.dtype).at[:, :window].set(
         frames[:, :window])
     b = jnp.zeros((F, P2), frames.dtype).at[:, :FL].set(frames)
-    c = jnp.fft.irfft(jnp.conj(jnp.fft.rfft(a, axis=1))
-                      * jnp.fft.rfft(b, axis=1), n=P2, axis=1)
-    c = c[:, : lag_max + 1]                                   # [F, L+1]
+    c = dft.cross_correlation(a, b, P2, lag_max + 1)          # [F, L+1]
     sq = jnp.concatenate([jnp.zeros((F, 1), frames.dtype),
                           jnp.cumsum(frames * frames, axis=1)], axis=1)
-    lags = jnp.arange(lag_max + 1)
-    e = sq[:, lags + window] - sq[:, lags]                    # [F, L+1]
+    # static windows of the cumulative energy (slices, not gathers)
+    e = (jax.lax.slice_in_dim(sq, window, window + lag_max + 1, axis=1)
+         - jax.lax.slice_in_dim(sq, 0, lag_max + 1, axis=1))  # [F, L+1]
     e0 = e[:, :1]
     return jnp.maximum(e0 + e - 2.0 * c, 0.0)
 
@@ -88,13 +90,20 @@ def estimate_f0(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     tau_rel = jnp.where(ok.any(axis=1), first, fallback)
     tau = tau_rel + lmin                                     # [F] int
 
-    dp_tau = jnp.take_along_axis(r, tau_rel[:, None], axis=1)[:, 0]
+    # scalar-per-row selections as mask-sums (lane gathers serialize on
+    # TPU; a masked reduce vectorizes)
+    cols = jnp.arange(R)
+    dp_tau = jnp.sum(jnp.where(cols[None, :] == tau_rel[:, None], r, 0.0),
+                     axis=1)
 
     # parabolic refinement (only strictly inside the search range)
-    tm1 = jnp.take_along_axis(dp, jnp.maximum(tau - 1, 0)[:, None],
-                              axis=1)[:, 0]
-    tp1 = jnp.take_along_axis(dp, jnp.minimum(tau + 1, lmax)[:, None],
-                              axis=1)[:, 0]
+    cols_full = jnp.arange(dp.shape[1])
+    tm1 = jnp.sum(jnp.where(
+        cols_full[None, :] == jnp.maximum(tau - 1, 0)[:, None], dp, 0.0),
+        axis=1)
+    tp1 = jnp.sum(jnp.where(
+        cols_full[None, :] == jnp.minimum(tau + 1, lmax)[:, None], dp, 0.0),
+        axis=1)
     denom = tm1 - 2.0 * dp_tau + tp1
     delta = jnp.where(jnp.abs(denom) > 1e-12,
                       0.5 * (tm1 - tp1) / jnp.where(denom == 0, 1.0, denom),

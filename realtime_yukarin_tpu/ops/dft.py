@@ -121,13 +121,43 @@ def irfft_bases(n: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang) * w[:, None], -np.sin(ang) * w[:, None]
 
 
-def irfft_real(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
-    """irfft from split re/im one-sided spectra, as two MXU matmuls."""
+def irfft_real(re: jnp.ndarray, im: jnp.ndarray, n: int,
+               out_len: int | None = None) -> jnp.ndarray:
+    """irfft from split re/im one-sided spectra, as two MXU matmuls.
+
+    ``out_len`` truncates the time output (the basis is sliced host-side,
+    so only the needed columns are ever multiplied — used by the F0
+    cross-correlation, which only wants lags [0, lag_max]).
+    """
     A, B = irfft_bases(n)
+    if out_len is not None:
+        A, B = A[:, :out_len], B[:, :out_len]
     A = jnp.asarray(A, re.dtype)
     B = jnp.asarray(B, re.dtype)
     return (jnp.matmul(re, A, precision=DFT_PRECISION)
             + jnp.matmul(im, B, precision=DFT_PRECISION))
+
+
+def cross_correlation(a: jnp.ndarray, b: jnp.ndarray, n: int, out_len: int
+                      ) -> jnp.ndarray:
+    """c[l] = sum_n a[n] b[n+l] for l in [0, out_len), rows batched.
+
+    a, b: [..., n] zero-padded so the circular correlation is linear.
+    irfft(conj(rfft(a)) * rfft(b)) as six MXU matmuls — XLA's TPU FFT is
+    ~10x slower at these sizes (see module docstring).
+    """
+    cos, sin = rfft_bases(n)
+    cos = jnp.asarray(cos, a.dtype)
+    sin = jnp.asarray(sin, a.dtype)
+    re_a = jnp.matmul(a, cos, precision=DFT_PRECISION)
+    im_a = jnp.matmul(a, sin, precision=DFT_PRECISION)   # -Im(rfft(a))
+    re_b = jnp.matmul(b, cos, precision=DFT_PRECISION)
+    im_b = jnp.matmul(b, sin, precision=DFT_PRECISION)   # -Im(rfft(b))
+    # conj(A) * B with A = re_a - j*im_a', where im stored negated:
+    # Re = re_a re_b + im_a im_b ; Im = re_a (-im_b) - (-im_a) re_b
+    re = re_a * re_b + im_a * im_b
+    im = im_a * re_b - re_a * im_b
+    return irfft_real(re, im, n, out_len)
 
 
 def autocorr_at_lag(P: jnp.ndarray, lag: jnp.ndarray, n: int) -> jnp.ndarray:
