@@ -31,14 +31,19 @@ def power_spectrogram(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     return dft.power_spectrum(frames * hann(N, frames.dtype), N)
 
 
-def envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
-                        ) -> jnp.ndarray:
-    """Power spectrogram [F, K] + f0 [F] -> power envelope [F, K].
+def log_envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
+                            ) -> jnp.ndarray:
+    """Power spectrogram [F, K] + f0 [F] -> LOG power envelope [F, K].
 
     Both pitch-adaptive steps are quefrency sinc filters (4 MXU matmuls
     total, no gathers): (1) linear-domain smoothing with effective rect
     width f0 fills inter-harmonic valleys; (2) log-domain liftering
     removes residual harmonic ripple.
+
+    The log-domain result is the primary output: the mel-cepstrum encode
+    consumes it directly (dsp/mcep.py), so the streaming hot path never
+    materializes exp(L) just to take log again (~7M transcendentals per
+    128-stream step).
     """
     N = cfg.fft_size
     fs = float(cfg.sample_rate)
@@ -55,8 +60,13 @@ def envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
         * 10.0 ** (cfg.envelope_floor_db / 10.0), prim.POWER_FLOOR)
     L = jnp.log(jnp.maximum(P, floor))
 
-    L_env = dft.quefrency_filter(L, lift_half, N)
-    return jnp.exp(L_env)
+    return dft.quefrency_filter(L, lift_half, N)
+
+
+def envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
+                        ) -> jnp.ndarray:
+    """Power spectrogram [F, K] + f0 [F] -> power envelope [F, K]."""
+    return jnp.exp(log_envelope_from_power(P, f0, cfg))
 
 
 def spectral_envelope(x: jnp.ndarray, f0: jnp.ndarray, num_frames: int,

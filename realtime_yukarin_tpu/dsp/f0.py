@@ -15,6 +15,8 @@ Semantics match ``golden.reference.estimate_f0`` allclose.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +31,29 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+@functools.lru_cache(maxsize=None)
+def _running_energy_matrix(frame_len: int, window: int, lag_max: int):
+    """[frame_len, lag_max+1] 0/1 band: e(l) = sum_{n=l}^{l+W-1} x^2[n].
+
+    A lane-axis cumsum on TPU costs more than the rest of the F0 stage
+    combined (measured ~6 ms/step at 128 streams); the same running
+    energy as one banded MXU matmul is noise — and avoids the
+    sq[l+W]-sq[l] cancellation of the prefix-sum formulation.
+    """
+    import numpy as np
+    W = np.zeros((frame_len, lag_max + 1), np.float64)
+    for l in range(lag_max + 1):
+        W[l: l + window, l] = 1.0
+    return W
+
+
+@functools.lru_cache(maxsize=None)
+def _prefix_sum_matrix(n: int):
+    """[n, n] ones where j <= l: (d @ M)[l] = sum_{j<=l} d[j] via MXU."""
+    import numpy as np
+    return np.triu(np.ones((n, n), np.float64))
 
 
 def difference_function(frames: jnp.ndarray, window: int, lag_max: int
@@ -47,19 +72,22 @@ def difference_function(frames: jnp.ndarray, window: int, lag_max: int
         frames[:, :window])
     b = jnp.zeros((F, P2), frames.dtype).at[:, :FL].set(frames)
     c = dft.cross_correlation(a, b, P2, lag_max + 1)          # [F, L+1]
-    sq = jnp.concatenate([jnp.zeros((F, 1), frames.dtype),
-                          jnp.cumsum(frames * frames, axis=1)], axis=1)
-    # static windows of the cumulative energy (slices, not gathers)
-    e = (jax.lax.slice_in_dim(sq, window, window + lag_max + 1, axis=1)
-         - jax.lax.slice_in_dim(sq, 0, lag_max + 1, axis=1))  # [F, L+1]
+    Wb = jnp.asarray(_running_energy_matrix(FL, window, lag_max),
+                     frames.dtype)
+    e = jnp.matmul(frames * frames, Wb,
+                   precision=jax.lax.Precision.HIGH)          # [F, L+1]
     e0 = e[:, :1]
     return jnp.maximum(e0 + e - 2.0 * c, 0.0)
 
 
 def cmnd(d: jnp.ndarray) -> jnp.ndarray:
-    """Cumulative-mean-normalized difference; d'[0] = 1."""
+    """Cumulative-mean-normalized difference; d'[0] = 1.
+
+    The running sum is a triangular-ones MXU matmul (lane cumsums
+    serialize on TPU; see _running_energy_matrix)."""
     F, L1 = d.shape
-    csum = jnp.cumsum(d[:, 1:], axis=1)
+    M = jnp.asarray(_prefix_sum_matrix(L1 - 1), d.dtype)
+    csum = jnp.matmul(d[:, 1:], M, precision=jax.lax.Precision.HIGH)
     lags = jnp.arange(1, L1, dtype=d.dtype)
     dp = jnp.where(csum > 0, d[:, 1:] * lags / csum, 1.0)
     return jnp.concatenate([jnp.ones((F, 1), d.dtype), dp], axis=1)

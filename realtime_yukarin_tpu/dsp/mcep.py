@@ -25,8 +25,19 @@ def _bases(cfg: DspConfig, dtype):
 
 def encode_mcep(env: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
     """[..., K] power envelope -> [..., M+1] mel-cepstrum."""
-    _, A = _bases(cfg, env.dtype)
     logE = jnp.log(jnp.maximum(env, prim.POWER_FLOOR))
+    return encode_mcep_from_log(logE, cfg)
+
+
+def encode_mcep_from_log(logE: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
+    """[..., K] LOG power envelope -> [..., M+1] mel-cepstrum.
+
+    max(logE, log floor) == log(max(env, floor)) exactly in real math, so
+    feeding the analysis log-envelope here skips the exp/log round-trip.
+    """
+    import numpy as np
+    _, A = _bases(cfg, logE.dtype)
+    logE = jnp.maximum(logE, float(np.log(prim.POWER_FLOOR)))
     # small [.., K] x [K, M+1] matmul: full fp32 so TPU results stay
     # allclose to the float64 golden reference
     return jnp.matmul(logE, A.T, precision=jax.lax.Precision.HIGHEST)

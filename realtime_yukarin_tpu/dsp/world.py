@@ -14,9 +14,12 @@ import jax.numpy as jnp
 
 from realtime_yukarin_tpu.config import DspConfig
 from realtime_yukarin_tpu.dsp.aperiodicity import band_aperiodicity
-from realtime_yukarin_tpu.dsp.envelope import spectral_envelope
+from realtime_yukarin_tpu.dsp.envelope import (log_envelope_from_power,
+                                               power_spectrogram,
+                                               spectral_envelope)
 from realtime_yukarin_tpu.dsp.f0 import estimate_f0
-from realtime_yukarin_tpu.dsp.mcep import decode_mcep, encode_mcep
+from realtime_yukarin_tpu.dsp.mcep import (decode_mcep, encode_mcep,
+                                           encode_mcep_from_log)
 from realtime_yukarin_tpu.dsp.synthesis import SynthCarry, synthesize
 
 
@@ -44,9 +47,14 @@ def analyze(wave: jnp.ndarray, num_frames: int, cfg: DspConfig,
     geometry so every shape is fixed under jit.
     """
     f0 = estimate_f0(wave, num_frames, cfg, center_offset)
-    env = spectral_envelope(wave, f0, num_frames, cfg, center_offset)
+    # log-domain envelope is the primary product; mc encodes from it
+    # directly and the linear env (exp) is DCE'd by XLA when unused
+    # (e.g. the streaming step, where only mc feeds conversion)
+    P = power_spectrogram(wave, num_frames, cfg, center_offset)
+    L = log_envelope_from_power(P, f0, cfg)
+    env = jnp.exp(L)
     ap = band_aperiodicity(wave, f0, num_frames, cfg, center_offset)
-    mc = encode_mcep(env, cfg)
+    mc = encode_mcep_from_log(L, cfg)
     return AcousticFeature(f0=f0, env=env, ap=ap, mc=mc)
 
 
