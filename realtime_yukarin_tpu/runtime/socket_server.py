@@ -51,6 +51,9 @@ class _Slot:
         self.eof = False             # reader saw client EOF
         self.drain_left = 0          # silence chunks still owed after EOF
         self.done = threading.Event()  # tail fully pushed to out ring
+        self.gen = 0                 # claim generation: a stale reader from
+        #                              a previous connection must never push
+        #                              into a reclaimed slot's ring
 
 
 class SocketVoiceServer:
@@ -130,6 +133,7 @@ class SocketVoiceServer:
                     s.eof = False
                     s.drain_left = self._n_drain
                     s.done.clear()
+                    s.gen += 1
                     with self._dev_lock:
                         self._server.reset_stream(i)
                     s.active = True
@@ -155,9 +159,10 @@ class SocketVoiceServer:
 
     def _conn_reader(self, conn: socket.socket, i: int) -> None:
         slot = self._slots[i]
+        my_gen = slot.gen
         carry = b""
         try:
-            while not self._stop.is_set():
+            while not self._stop.is_set() and slot.gen == my_gen:
                 data = conn.recv(65536)
                 if not data:
                     break
@@ -165,7 +170,8 @@ class SocketVoiceServer:
                 n4 = len(data) // 4 * 4
                 carry = data[n4:]
                 pcm = np.frombuffer(data[:n4], "<f4")
-                while len(pcm) and not self._stop.is_set():
+                while (len(pcm) and not self._stop.is_set()
+                       and slot.gen == my_gen):
                     pushed = slot.in_rb.push(pcm)
                     if pushed < len(pcm):
                         self.metrics.incr("input_overruns")
@@ -173,7 +179,8 @@ class SocketVoiceServer:
                     pcm = pcm[pushed:]
         except OSError:
             pass
-        slot.eof = True
+        if slot.gen == my_gen:
+            slot.eof = True
 
     def _conn_writer(self, conn: socket.socket, i: int) -> None:
         slot = self._slots[i]
