@@ -34,10 +34,11 @@ from realtime_yukarin_tpu.parallel.mesh import make_mesh
 from realtime_yukarin_tpu.parallel.multihost import (broadcast_from_host0,
                                                      init_multihost)
 from realtime_yukarin_tpu.training.checkpoint import (restore_checkpoint,
-                                                      save_checkpoint)
+                                                      save_checkpoint,
+                                                      to_host)
 from realtime_yukarin_tpu.training.train_step import (
-    GanTrainState, init_gan_train_state, init_train_state,
-    make_gan_train_step, make_sharded_train_step, make_train_step)
+    init_gan_train_state, init_train_state, make_sharded_gan_step,
+    make_sharded_train_step)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -104,29 +105,41 @@ def main(argv: list[str] | None = None) -> None:
             return ds.sample_batch(args.batch_size)
 
     # step + state --------------------------------------------------------
+    # both objectives run through the same mesh/shardings (data x model);
+    # GSPMD emits identical collectives for 1 chip, 1 host, or N hosts
+    mesh = make_mesh(model_parallel=args.model_parallel)
     if args.gan:
         _, d_params = init_discriminator(jax.random.key(cfg.seed + 1),
                                          cfg.super_resolution, cfg.dsp)
-        step_fn = jax.jit(make_gan_train_step(cfg, args.adv_weight),
-                          donate_argnums=(0,))
-        state = init_gan_train_state(params, d_params)
+        d_params = broadcast_from_host0(d_params)
+        step_fn, shard_state, shard_batch = make_sharded_gan_step(
+            cfg, mesh, args.adv_weight)
+        state_host = init_gan_train_state(params, d_params)
     else:
-        mesh = make_mesh(model_parallel=args.model_parallel)
         step_fn, shard_state, shard_batch = make_sharded_train_step(cfg, mesh)
-        state = shard_state(init_train_state(params))
+        state_host = init_train_state(params)
 
+    # resume BEFORE sharding, then re-sync hosts: checkpoints are written
+    # by host 0 only, so without this a multi-host run without a shared
+    # filesystem would restore on host 0 and desync every other host
     start_step = 0
     if args.ckpt_dir:
-        state, start_step = restore_checkpoint(args.ckpt_dir, state)
-        if start_step:
+        state_host, start_step = restore_checkpoint(args.ckpt_dir,
+                                                    state_host)
+        if proc_count > 1:
+            state_host = broadcast_from_host0(
+                jax.tree.map(np.asarray, state_host))
+            start_step = int(broadcast_from_host0(
+                np.asarray(start_step, np.int32)))
+        if start_step and is_host0:
             print(f"[train] resumed from step {start_step}")
+    state = shard_state(state_host)
 
     # loop ----------------------------------------------------------------
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):
         batch = next_batch(step)
-        if not args.gan:
-            batch = shard_batch(batch)
+        batch = shard_batch(batch)
         state, metrics = step_fn(state, batch)
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             m = {k: float(np.asarray(v)) for k, v in metrics.items()}
@@ -136,14 +149,19 @@ def main(argv: list[str] | None = None) -> None:
                 print(f"[train] step {step + 1}/{args.steps} {msg} "
                       f"({rate:.2f} it/s)")
         if args.ckpt_dir and ((step + 1) % args.ckpt_every == 0
-                              or step + 1 == args.steps) and is_host0:
-            path = save_checkpoint(args.ckpt_dir, state, step + 1)
-            print(f"[train] checkpoint -> {path}")
+                              or step + 1 == args.steps):
+            # to_host's allgather is a collective: every host participates,
+            # only host 0 writes
+            host_state = to_host(state)
+            if is_host0:
+                path = save_checkpoint(args.ckpt_dir, host_state, step + 1)
+                print(f"[train] checkpoint -> {path}")
 
-    if args.export_params and is_host0:
-        final = state.params
-        save_params(jax.tree.map(np.asarray, final), args.export_params)
-        print(f"[train] inference params -> {args.export_params}")
+    if args.export_params:
+        host_params = to_host(state.params)    # collective: all hosts
+        if is_host0:
+            save_params(host_params, args.export_params)
+            print(f"[train] inference params -> {args.export_params}")
 
 
 if __name__ == "__main__":

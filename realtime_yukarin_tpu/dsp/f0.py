@@ -49,11 +49,6 @@ def _running_energy_matrix(frame_len: int, window: int, lag_max: int):
     return W
 
 
-@functools.lru_cache(maxsize=None)
-def _prefix_sum_matrix(n: int):
-    """[n, n] ones where j <= l: (d @ M)[l] = sum_{j<=l} d[j] via MXU."""
-    import numpy as np
-    return np.triu(np.ones((n, n), np.float64))
 
 
 def difference_function(frames: jnp.ndarray, window: int, lag_max: int
@@ -84,9 +79,9 @@ def cmnd(d: jnp.ndarray) -> jnp.ndarray:
     """Cumulative-mean-normalized difference; d'[0] = 1.
 
     The running sum is a triangular-ones MXU matmul (lane cumsums
-    serialize on TPU; see _running_energy_matrix)."""
+    serialize on TPU; see dft.prefix_sum_matrix)."""
     F, L1 = d.shape
-    M = jnp.asarray(_prefix_sum_matrix(L1 - 1), d.dtype)
+    M = jnp.asarray(dft.prefix_sum_matrix(L1 - 1), d.dtype)
     csum = jnp.matmul(d[:, 1:], M, precision=jax.lax.Precision.HIGH)
     lags = jnp.arange(1, L1, dtype=d.dtype)
     dp = jnp.where(csum > 0, d[:, 1:] * lags / csum, 1.0)

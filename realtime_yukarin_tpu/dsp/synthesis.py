@@ -149,10 +149,9 @@ def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
     f_inst = (f0f[:-1, None] * (1.0 - frac)[None, :]
               + f0f[1:, None] * frac[None, :])                # [F, hop]
     # phase integration as a triangular-ones matmul (lane cumsums
-    # serialize on TPU — see dsp/f0.py); HIGHEST keeps phase at f32
+    # serialize on TPU — see ops/dft.py); HIGHEST keeps phase at f32
     # accuracy or better
-    from realtime_yukarin_tpu.dsp.f0 import _prefix_sum_matrix
-    M = jnp.asarray(_prefix_sum_matrix(hop), dtype)
+    M = jnp.asarray(dft.prefix_sum_matrix(hop), dtype)
     cum = jnp.matmul(2.0 * jnp.pi * f_inst / fs, M,
                      precision=jax.lax.Precision.HIGHEST)     # [F, hop]
     two_pi = jnp.asarray(2.0 * jnp.pi, dtype)

@@ -69,6 +69,17 @@ def cepstrum_inverse_basis(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def prefix_sum_matrix(n: int) -> np.ndarray:
+    """[n, n] ones where row <= col: (d @ M)[l] = sum_{j<=l} d[j].
+
+    Lane-axis cumsums serialize on TPU (measured ~6 ms/step at 128 streams
+    for the F0 running energy); the same prefix sum as a triangular-ones
+    MXU matmul is noise.  Shared by dsp/f0.py (CMND) and dsp/synthesis.py
+    (phase integration)."""
+    return np.triu(np.ones((n, n), np.float64))
+
+
+@functools.lru_cache(maxsize=None)
 def autocorr_weights(n: int) -> np.ndarray:
     """[K]: weights turning a one-sided power spectrum into autocorrelation:
     r_l = sum_k w_k P_k cos(2 pi k l / n)  ==  irfft(P_two_sided)[l]."""

@@ -48,7 +48,11 @@ def init_multihost(coordinator_address: str | None = None,
     pid = process_id if process_id is not None else (
         int(os.environ["JAX_PROCESS_ID"])
         if "JAX_PROCESS_ID" in os.environ else None)
-    if coord is not None and (nproc or 1) > 1:
+    # A coordinator with nproc unset means "let jax autodetect the process
+    # topology" (Cloud TPU metadata) — only an EXPLICIT num_processes=1 is
+    # a no-op.  Silently skipping initialize here would let every host
+    # train an independent model with no error.
+    if coord is not None and (nproc is None or nproc > 1):
         jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=nproc, process_id=pid)
     return jax.process_index(), jax.process_count()

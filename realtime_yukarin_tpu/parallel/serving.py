@@ -39,19 +39,29 @@ def make_batched_step(cfg: Config, mesh: Mesh, use_sr: bool = True,
                       use_neural_vocoder: bool = False):
     """Build the pjit-compiled batched streaming step.
 
-    Returns step(params, carries, chunks [N, S], keys [N]) ->
-    (out [N, S], carries').  carries/chunks/keys shard over 'data';
+    Returns step(params, carries, chunks [N, S], keys [N], live [N]) ->
+    (out [N, S], carries').  carries/chunks/keys/live shard over 'data';
     params shard per ``model_shard_params``; the carry is donated.
+
+    ``live`` masks which streams advance this tick: a False lane keeps its
+    previous carry and emits zeros, so a stream whose producer hasn't
+    delivered a chunk yet can be PAUSED instead of force-fed silence
+    (which would roll zeros into its analysis window and OLA state).
     """
 
-    def _one(params, carry, chunk, key):
-        return streaming_step_impl(params, carry, chunk, key, cfg,
-                                   use_sr, use_neural_vocoder)
+    def _one(params, carry, chunk, key, live):
+        out, new_carry = streaming_step_impl(params, carry, chunk, key, cfg,
+                                             use_sr, use_neural_vocoder)
+        keep = jax.tree.map(
+            lambda new, old: jnp.where(
+                jnp.reshape(live, (1,) * new.ndim), new, old),
+            new_carry, carry)
+        return jnp.where(live, out, 0.0), keep
 
-    vstep = jax.vmap(_one, in_axes=(None, 0, 0, 0))
+    vstep = jax.vmap(_one, in_axes=(None, 0, 0, 0, 0))
 
-    def step(params, carries, chunks, keys):
-        return vstep(params, carries, chunks, keys)
+    def step(params, carries, chunks, keys, live):
+        return vstep(params, carries, chunks, keys, live)
 
     return jax.jit(step, donate_argnums=(1,))
 
@@ -71,6 +81,8 @@ class BatchedServer:
         self._cfg = cfg
         self._mesh = mesh if mesh is not None else make_mesh()
         n = num_streams or cfg.serving.num_streams
+        dp = self._mesh.shape[DATA_AXIS]
+        n = -(-n // dp) * dp          # round up to the data-axis size
         self._geo = StreamGeometry.from_config(cfg, use_sr,
                                                use_neural_vocoder)
         self._step = make_batched_step(cfg, self._mesh, use_sr,
@@ -86,6 +98,7 @@ class BatchedServer:
                 jnp.arange(n)),
             NamedSharding(self._mesh, P(DATA_AXIS)))
         self._chunk_sharding = NamedSharding(self._mesh, P(DATA_AXIS, None))
+        self._live_sharding = NamedSharding(self._mesh, P(DATA_AXIS))
         self.num_streams = n
 
     @property
@@ -96,18 +109,26 @@ class BatchedServer:
     def latency_samples(self) -> int:
         return self._geo.latency_samples(self._cfg.dsp.hop)
 
-    def step(self, chunks: np.ndarray) -> np.ndarray:
-        """chunks [N, chunk_samples] -> converted [N, chunk_samples]."""
+    def _live_mask(self, live) -> jnp.ndarray:
+        if live is None:
+            live = np.ones((self.num_streams,), bool)
+        return jax.device_put(jnp.asarray(live, bool), self._live_sharding)
+
+    def step(self, chunks: np.ndarray, live=None) -> np.ndarray:
+        """chunks [N, chunk_samples] -> converted [N, chunk_samples].
+
+        ``live`` (optional [N] bool) pauses False lanes: their carry is
+        kept and their output is zeros."""
         x = jax.device_put(jnp.asarray(chunks, jnp.float32),
                            self._chunk_sharding)
         out, self._carries = self._step(self._params, self._carries, x,
-                                        self._keys)
+                                        self._keys, self._live_mask(live))
         return np.asarray(out)
 
-    def step_device(self, chunks: jnp.ndarray) -> jnp.ndarray:
+    def step_device(self, chunks: jnp.ndarray, live=None) -> jnp.ndarray:
         """Device-resident variant (no host copies) for benchmarking."""
         out, self._carries = self._step(self._params, self._carries, chunks,
-                                        self._keys)
+                                        self._keys, self._live_mask(live))
         return out
 
     def reset_stream(self, i: int) -> None:

@@ -54,6 +54,7 @@ class _Slot:
         self.gen = 0                 # claim generation: a stale reader from
         #                              a previous connection must never push
         #                              into a reclaimed slot's ring
+        self.reader: threading.Thread | None = None
 
 
 class SocketVoiceServer:
@@ -73,7 +74,8 @@ class SocketVoiceServer:
         self._n_drain = -(-self._server.latency_samples // self._S) + 1
         self._rt = realtime_factor
         cap = int(ring_seconds * cfg.dsp.sample_rate)
-        self._slots = [_Slot(cap) for _ in range(num_streams)]
+        # BatchedServer rounds num_streams up to the mesh data axis
+        self._slots = [_Slot(cap) for _ in range(self._server.num_streams)]
         self._lock = threading.Lock()
         # Serializes ALL device work: the accept thread's reset_stream must
         # never overlap the ticker's step — the step donates the carry
@@ -83,7 +85,8 @@ class SocketVoiceServer:
         self.metrics = ServingMetrics()
 
         # warm up the compile before accepting traffic
-        self._server.step(np.zeros((num_streams, self._S), np.float32))
+        self._server.step(np.zeros((self._server.num_streams, self._S),
+                                   np.float32))
 
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -128,12 +131,19 @@ class SocketVoiceServer:
         with self._lock:
             for i, s in enumerate(self._slots):
                 if not s.active:
+                    s.gen += 1                        # fence stale producers
+                    if s.reader is not None and s.reader.is_alive():
+                        # the previous connection's reader must be gone
+                        # before the ring gets a new producer (SPSC)
+                        s.reader.join(timeout=5.0)
+                        if s.reader.is_alive():
+                            s.gen -= 1
+                            continue                  # try another slot
                     s.in_rb.pop(s.in_rb.available)   # clear stale data
                     s.out_rb.pop(s.out_rb.available)
                     s.eof = False
                     s.drain_left = self._n_drain
                     s.done.clear()
-                    s.gen += 1
                     with self._dev_lock:
                         self._server.reset_stream(i)
                     s.active = True
@@ -152,8 +162,11 @@ class SocketVoiceServer:
                 conn.close()
                 continue
             self.metrics.incr("accepted_connections")
-            threading.Thread(target=self._conn_reader, args=(conn, i),
-                             daemon=True, name=f"vc-read-{i}").start()
+            reader = threading.Thread(target=self._conn_reader,
+                                      args=(conn, i), daemon=True,
+                                      name=f"vc-read-{i}")
+            self._slots[i].reader = reader
+            reader.start()
             threading.Thread(target=self._conn_writer, args=(conn, i),
                              daemon=True, name=f"vc-write-{i}").start()
 
@@ -206,48 +219,75 @@ class SocketVoiceServer:
     # -- device ticker --------------------------------------------------------
 
     def _tick_loop(self) -> None:
+        try:
+            self._tick_loop_impl()
+        except Exception as e:                         # noqa: BLE001
+            # a dead ticker must not leave clients hanging silently:
+            # stop accepting, release every stream, surface the error
+            self.metrics.incr("ticker_errors")
+            print(f"[socket_server] ticker died: {e!r}", flush=True)
+            self._stop.set()
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            for s in self._slots:
+                s.done.set()
+
+    def _tick_loop_impl(self) -> None:
         S = self._S
         period = (S / self._cfg.dsp.sample_rate / self._rt
                   if self._rt > 0 else 0.0)
-        chunks = np.zeros((len(self._slots), S), np.float32)
+        N = len(self._slots)
+        chunks = np.zeros((N, S), np.float32)
+        live = np.zeros((N,), bool)
         while not self._stop.is_set():
             t0 = time.perf_counter()
-            idle = True
-            live: list[int] = []
-            for i, s in enumerate(self._slots):
-                if not s.active or s.done.is_set():
-                    chunks[i] = 0.0
-                    continue
-                if s.in_rb.available >= S:
-                    chunks[i] = s.in_rb.pop(S)
-                    idle = False
-                    live.append(i)
-                elif s.eof:
-                    # drain: flush remaining input padded with silence,
-                    # then feed latency-draining silence chunks
-                    tailpcm = s.in_rb.pop(s.in_rb.available)
-                    chunks[i] = 0.0
-                    chunks[i, :len(tailpcm)] = tailpcm
-                    if len(tailpcm) == 0:
-                        s.drain_left -= 1
-                    idle = False
-                    live.append(i)
-                else:
-                    chunks[i] = 0.0   # waiting on a slow producer:
-                    self.metrics.incr("tick_underruns")
-                    live.append(i)    # still advance (realtime contract)
-                    idle = False
-            if idle:
+            live[:] = False
+            gens = [0] * N
+            with self._lock:     # claim/free cannot interleave the scan
+                for i, s in enumerate(self._slots):
+                    if not s.active or s.done.is_set():
+                        chunks[i] = 0.0
+                        continue
+                    gens[i] = s.gen
+                    if s.in_rb.available >= S:
+                        chunks[i] = s.in_rb.pop(S)
+                        live[i] = True
+                    elif s.eof:
+                        # drain: flush remaining input padded with silence,
+                        # then feed latency-draining silence chunks
+                        tailpcm = s.in_rb.pop(s.in_rb.available)
+                        chunks[i] = 0.0
+                        chunks[i, :len(tailpcm)] = tailpcm
+                        if len(tailpcm) == 0:
+                            s.drain_left -= 1
+                        live[i] = True
+                    elif period:
+                        # realtime contract: a slow producer gets silence
+                        # fed through its stream (underrun counted) so its
+                        # clock keeps advancing
+                        chunks[i] = 0.0
+                        live[i] = True
+                        self.metrics.incr("tick_underruns")
+                    # free-running mode: not-ready slots are PAUSED via
+                    # the live mask — their device carry is untouched
+            if not live.any():
                 time.sleep(0.002)
                 continue
             t_lat = time.perf_counter()
             with self._dev_lock:
-                out = self._server.step(chunks)
+                out = self._server.step(chunks, live=live)
             self.metrics.chunk_latency.record(
                 1000.0 * (time.perf_counter() - t_lat))
-            for i in live:
+            for i in np.flatnonzero(live):
                 s = self._slots[i]
-                pushed = s.out_rb.push(out[i])
+                with self._lock:
+                    # drop the output if the slot was reclaimed mid-step
+                    # (never leak one client's audio into the next)
+                    if not s.active or s.gen != gens[i]:
+                        continue
+                    pushed = s.out_rb.push(out[i])
                 if pushed < S:
                     self.metrics.incr("output_overruns")
                 if s.eof and s.drain_left <= 0:

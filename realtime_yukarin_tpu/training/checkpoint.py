@@ -22,8 +22,24 @@ import numpy as np
 import flax.serialization
 
 
-def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+def to_host(tree):
+    """Device pytree -> host numpy, multi-host safe.
+
+    A model-axis-sharded global array spans other hosts' devices and
+    cannot be np.asarray'd directly; process_allgather assembles the full
+    value on every host first (replicated arrays take the fast path).
+    NOTE: the allgather is a collective — in a multi-host run call this on
+    EVERY host (then let only host 0 write the file)."""
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+    return jax.tree.map(one, tree)
+
+
+_to_host = to_host
 
 
 def save_checkpoint(ckpt_dir: str | pathlib.Path, state, step: int,

@@ -208,3 +208,28 @@ def make_sharded_train_step(cfg: Config, mesh, optimizer=None):
         return host_local_to_global(mesh, batch)
 
     return jax.jit(step, donate_argnums=(0,)), shard_state, shard_batch
+
+
+def make_sharded_gan_step(cfg: Config, mesh, adv_weight: float = 0.1,
+                          g_optimizer=None, d_optimizer=None):
+    """Sharded variant of the GAN step: batch over 'data', both parameter
+    sets over the model-sharding rule — so --gan trains the same way on a
+    mesh / across hosts as the plain objective (it previously bypassed the
+    mesh entirely and would silently diverge per host)."""
+    step = make_gan_train_step(cfg, adv_weight, g_optimizer, d_optimizer)
+
+    def shard_state(state: GanTrainState) -> GanTrainState:
+        def put(tree):
+            return jax.device_put(tree, model_shard_params(mesh, tree))
+        return GanTrainState(params=put(state.params),
+                             d_params=put(state.d_params),
+                             opt_state=put(state.opt_state),
+                             d_opt_state=put(state.d_opt_state),
+                             step=jax.device_put(state.step))
+
+    def shard_batch(batch: Batch) -> Batch:
+        from realtime_yukarin_tpu.parallel.multihost import \
+            host_local_to_global
+        return host_local_to_global(mesh, batch)
+
+    return jax.jit(step, donate_argnums=(0,)), shard_state, shard_batch

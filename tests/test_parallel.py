@@ -140,3 +140,41 @@ def test_multihost_helpers_single_process():
     state = shard_state(init_train_state(params))
     state, metrics = step(state, gbatch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_live_mask_pauses_streams():
+    """A False live lane keeps its carry frozen and emits zeros, so a slow
+    producer's stream state is never polluted with forced silence."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    server = BatchedServer(params, cfg, num_streams=8,
+                           mesh=make_mesh(model_parallel=1))
+    S = server.chunk_samples
+    rng = np.random.default_rng(0)
+    chunks = rng.standard_normal((8, S)).astype(np.float32) * 0.1
+
+    carry3_before = jax.tree.map(lambda c: np.asarray(c[3]),
+                                 server._carries)
+    live = np.ones(8, bool)
+    live[3] = False
+    out = server.step(chunks, live=live)
+
+    assert np.abs(out[3]).max() == 0.0, "paused lane must emit zeros"
+    assert np.abs(out[0]).max() >= 0.0 and np.isfinite(out).all()
+    carry3_after = jax.tree.map(lambda c: np.asarray(c[3]), server._carries)
+    for a, b in zip(jax.tree.leaves(carry3_before),
+                    jax.tree.leaves(carry3_after)):
+        np.testing.assert_array_equal(a, b)
+    # other lanes DID advance
+    c0 = jax.tree.map(lambda c: np.asarray(c[0]), server._carries)
+    assert float(np.abs(c0.wave_buf).max()) > 0.0
+
+
+def test_num_streams_rounds_to_mesh():
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    server = BatchedServer(params, cfg, num_streams=5,
+                           mesh=make_mesh(model_parallel=1))
+    assert server.num_streams == 8   # rounded up to the data axis
+    out = server.step(np.zeros((8, server.chunk_samples), np.float32))
+    assert out.shape[0] == 8
