@@ -66,3 +66,23 @@ def test_serve_cli_profile_trace(tiny_cfg_path, input_wav, tmp_path):
           "--profile_dir", str(prof)])
     files = list(prof.rglob("*"))
     assert any(f.is_file() for f in files), "no trace files written"
+
+
+def test_evaluate_cli(tiny_cfg_path, input_wav, tmp_path, capsys):
+    """MCD/F0 metrics between a wav and itself are (near) zero; against a
+    converted version they are positive and finite."""
+    import json
+    from realtime_yukarin_tpu.cli.convert import main as convert_main
+    from realtime_yukarin_tpu.cli.evaluate import main as eval_main
+
+    out = tmp_path / "conv.wav"
+    convert_main(["--input_path", input_wav, "--output_path", str(out),
+                  "--config_path", tiny_cfg_path])
+
+    eval_main(["--converted_path", input_wav, "--target_path", input_wav])
+    self_m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert self_m["mcd_db"] < 1e-3 and self_m["logf0_rmse"] < 1e-4
+
+    eval_main(["--converted_path", str(out), "--target_path", input_wav])
+    conv_m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(conv_m["mcd_db"]) and conv_m["frames"] > 0
