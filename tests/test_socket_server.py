@@ -72,3 +72,35 @@ def test_slot_reuse_after_disconnect(served):
         y = convert_over_socket(*srv.address, x)
         assert len(y) > 0 and np.isfinite(y).all()
     assert srv.metrics.counters.get("accepted_connections", 0) >= 10
+
+
+def test_abrupt_disconnect_recovers(served):
+    """A client that vanishes mid-stream must not wedge its slot or leak
+    audio into the next session."""
+    import socket as socklib
+    import time as timelib
+
+    srv, cfg = served
+    fs = cfg.dsp.sample_rate
+    S = srv.chunk_samples
+    # connect, send half a chunk, then RST (no shutdown, SO_LINGER 0)
+    s = socklib.create_connection(srv.address)
+    s.setsockopt(socklib.SOL_SOCKET, socklib.SO_LINGER,
+                 b"\x01\x00\x00\x00\x00\x00\x00\x00")
+    s.sendall(np.zeros(S // 2, "<f4").tobytes())
+    s.close()   # RST due to linger-0
+
+    # the slot must become claimable again and serve a clean session
+    deadline = timelib.time() + 60
+    y = None
+    while timelib.time() < deadline:
+        try:
+            x = make_test_signal("harmonic", 0.3, fs).astype(np.float32)
+            y = convert_over_socket(*srv.address, x)
+            if len(y) > 0:
+                break
+        except OSError:
+            timelib.sleep(0.5)
+    assert y is not None and len(y) >= 0.3 * fs // S * S
+    assert np.isfinite(y).all()
+    assert float(np.abs(y).max()) > 1e-4, "output silent after recovery"
