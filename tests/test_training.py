@@ -241,3 +241,28 @@ def test_f0_metrics():
     m = evaluate.f0_metrics(f0a, f0b)
     assert float(m["logf0_rmse"]) == pytest.approx(0.0, abs=1e-6)
     assert float(m["vuv_error"]) == pytest.approx(0.25)
+
+
+def test_sharded_gan_step_on_mesh():
+    """--gan trains through the same dp x tp mesh as the plain objective
+    (it previously bypassed collectives and would diverge per host)."""
+    from realtime_yukarin_tpu.models.discriminator import init_discriminator
+    from realtime_yukarin_tpu.parallel.mesh import make_mesh
+    from realtime_yukarin_tpu.training.train_step import make_sharded_gan_step
+
+    cfg = tiny_config()
+    mesh = make_mesh(model_parallel=2)
+    params = init_params(jax.random.key(0), cfg)
+    _, d_params = init_discriminator(jax.random.key(1),
+                                     cfg.super_resolution, cfg.dsp)
+    step, shard_state, shard_batch = make_sharded_gan_step(
+        cfg, mesh, adv_weight=0.05)
+    state = shard_state(init_gan_train_state(params, d_params))
+    batch = shard_batch(make_batch(cfg, batch_size=4, seconds=0.2, seed=0))
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    assert int(np.asarray(state.step)) == 3
