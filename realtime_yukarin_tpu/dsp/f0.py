@@ -91,6 +91,15 @@ def cmnd(d: jnp.ndarray) -> jnp.ndarray:
 def estimate_f0(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
                 center_offset: int = 0) -> jnp.ndarray:
     """[T] -> f0 [F] in Hz (0 = unvoiced). Matches the golden estimator."""
+    return median3(estimate_f0_raw(x, num_frames, cfg, center_offset))
+
+
+def estimate_f0_raw(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
+                    center_offset: int = 0) -> jnp.ndarray:
+    """Pre-median per-frame F0 — frame-local, so values are independent of
+    the analysis window placement.  The streaming layer caches raw values
+    across chunks and applies the 3-tap median itself (the median couples
+    neighboring frames, so it must see the cached neighbor)."""
     hop, W = cfg.hop, cfg.f0_window
     lmin, lmax = cfg.lag_min, cfg.lag_max
     fs = float(cfg.sample_rate)
@@ -139,5 +148,4 @@ def estimate_f0(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     voiced = ((dp_tau < cfg.voicing_threshold)
               & (e0 / W >= prim.SILENCE_POWER)
               & (f0 >= cfg.f0_floor) & (f0 <= cfg.f0_ceil))
-    f0_raw = jnp.where(voiced, f0, 0.0)
-    return median3(f0_raw)
+    return jnp.where(voiced, f0, 0.0)

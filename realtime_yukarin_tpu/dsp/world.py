@@ -47,6 +47,16 @@ def analyze(wave: jnp.ndarray, num_frames: int, cfg: DspConfig,
     geometry so every shape is fixed under jit.
     """
     f0 = estimate_f0(wave, num_frames, cfg, center_offset)
+    return analyze_given_f0(wave, f0, num_frames, cfg, center_offset)
+
+
+def analyze_given_f0(wave: jnp.ndarray, f0: jnp.ndarray, num_frames: int,
+                     cfg: DspConfig, center_offset: int = 0
+                     ) -> AcousticFeature:
+    """Envelope / aperiodicity / mel-cepstrum for frames whose (already
+    median-filtered) F0 is supplied.  Frame-local given f0 — the streaming
+    layer uses this to analyze ONLY the frames that became final this
+    chunk and caches the rest (see streaming/pipeline.py)."""
     # log-domain envelope is the primary product; mc encodes from it
     # directly and the linear env (exp) is DCE'd by XLA when unused
     # (e.g. the streaming step, where only mc feeds conversion)

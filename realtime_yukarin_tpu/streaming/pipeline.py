@@ -21,8 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.dsp.f0 import estimate_f0_raw
+from realtime_yukarin_tpu.dsp.framing import median3
 from realtime_yukarin_tpu.dsp.synthesis import synthesize
-from realtime_yukarin_tpu.dsp.world import AcousticFeature, analyze
+from realtime_yukarin_tpu.dsp.world import (AcousticFeature,
+                                            analyze_given_f0)
 from realtime_yukarin_tpu.models.vocoder_nn import neural_vocode
 from realtime_yukarin_tpu.models.voice_changer import (compute_dtype,
                                                        convert_features)
@@ -96,9 +99,27 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     # 1. roll the wave buffer and append the new chunk
     buf = jnp.concatenate([carry.wave_buf[geo.chunk_samples:], chunk])
 
-    # 2. analyze Fn frames (centered so frame 0 sits AH into the buffer)
-    feat = analyze(buf, geo.analysis_frames, cfg.dsp,
-                   center_offset=geo.buf_frame0_offset)
+    # 2. analyze ONLY the fresh frames (Fc finals + the provisional window
+    # edge); the leading cache_frames come from the carry — analysis is
+    # frame-local, so cached values are bit-identical to a recompute
+    C = geo.cache_frames
+    fresh = geo.fresh_frames
+    off = geo.buf_frame0_offset + C * hop
+    raw_fresh = estimate_f0_raw(buf, fresh, cfg.dsp, off)
+    # median needs the cached left neighbor; the last fresh frame's median
+    # is edge-replicated exactly like a full-window recompute
+    raw_ext = jnp.concatenate([carry.f0_raw_prev[None], raw_fresh])
+    f0_fresh = median3(raw_ext)[1:]
+    ffresh = analyze_given_f0(buf, f0_fresh, fresh, cfg.dsp, off)
+
+    f0_all = jnp.concatenate([carry.f0_cache, f0_fresh])
+    mc_all = jnp.concatenate([carry.mc_cache, ffresh.mc])
+    ap_all = jnp.concatenate([carry.ap_cache, ffresh.ap])
+    feat = AcousticFeature(
+        f0=f0_all, ap=ap_all, mc=mc_all,
+        # conversion consumes f0/mc/ap only; the placeholder env is DCE'd
+        env=jnp.zeros((geo.analysis_frames, cfg.dsp.spec_bins),
+                      mc_all.dtype))
 
     # 3. convert features (models see the full halo; trim to Fc+1 after)
     conv = convert_features(params, feat, cfg, use_sr=use_sr)
@@ -116,8 +137,17 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
         out, synth_carry = synthesize(conv.f0, conv.env, conv.ap, noise,
                                       cfg.dsp, carry.synth)
 
-    new_carry = StreamCarry(wave_buf=buf, synth=synth_carry,
-                            frame_pos=out_frame0 + Fc)
+    Fn = geo.analysis_frames
+    new_carry = StreamCarry(
+        wave_buf=buf, synth=synth_carry, frame_pos=out_frame0 + Fc,
+        # next step's window is this one shifted by Fc: cache frames
+        # [Fc, Fn-1) (the window-edge frame Fn-1 has a provisional median
+        # and is re-analyzed next step); the median neighbor raw is frame
+        # Fn-2 = fresh[-2]
+        f0_cache=f0_all[Fc: Fn - 1],
+        mc_cache=mc_all[Fc: Fn - 1],
+        ap_cache=ap_all[Fc: Fn - 1],
+        f0_raw_prev=raw_fresh[fresh - 2])
     return out, new_carry
 
 
