@@ -80,8 +80,10 @@ def main() -> None:
     cfg = Config()
     params = init_params(jax.random.key(0), cfg)
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    # 128 streams saturates one chip (~500x realtime); 64 leaves ~10% idle
-    num_streams = 128 if on_tpu else 8
+    # after the analysis cache the step is partly dispatch-bound: 512
+    # streams amortizes it (4347x vs 3700x at 128) at 12 ms/tick — still
+    # 8x inside the 100 ms realtime budget per chunk
+    num_streams = 512 if on_tpu else 8
     steps = 50 if on_tpu else 5
     iters = 50 if on_tpu else 5
 
