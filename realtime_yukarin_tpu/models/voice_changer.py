@@ -79,6 +79,40 @@ def convert_features(params: dict, feat: AcousticFeature, cfg: Config,
     return AcousticFeature(f0=f0c, env=env_c, ap=feat.ap, mc=mc_c)
 
 
+def convert_window(params: dict, feat: AcousticFeature, cfg: Config,
+                   t0: int, out_frames: int, vocoder_halo: int = 0,
+                   use_sr: bool = True, dtype=None) -> AcousticFeature:
+    """Streaming variant of :func:`convert_features`: produce converted
+    features for window frames [t0 - vocoder_halo, t0 + out_frames +
+    vocoder_halo) only, running each stage on exactly the slice its
+    receptive field requires (SAME-padded convs are bit-identical to the
+    full-window computation on any interior slice).
+
+    The super-resolution stage sees its own ``context_frames`` halo around
+    the requested range; the extra ``vocoder_halo`` keeps the neural
+    vocoder's conv context intact for the caller (which trims it after its
+    control net).  Stage 1 still runs on the full window — its receptive
+    field spans it by construction (StreamGeometry.model_ctx)."""
+    if dtype is None:
+        dtype = compute_dtype(cfg)
+    ctx_sr = cfg.super_resolution.context_frames if use_sr else 0
+    s = t0 - vocoder_halo
+    Lv = out_frames + 2 * vocoder_halo
+
+    f0c = convert_f0_stats(feat.f0, params["f0_stats"])
+    mc_c = convert_mc(params["stage1"], feat.mc, feat.f0, cfg.acoustic,
+                      cfg.dsp, dtype)
+    env_low = decode_mcep(mc_c[s - ctx_sr: s + Lv + ctx_sr], cfg.dsp)
+    if use_sr:
+        env_mid = refine_envelope(params["stage2"], env_low,
+                                  cfg.super_resolution, cfg.dsp, dtype)
+        env_v = env_mid[ctx_sr: ctx_sr + Lv]
+    else:
+        env_v = env_low
+    return AcousticFeature(f0=f0c[s: s + Lv], env=env_v,
+                           ap=feat.ap[s: s + Lv], mc=mc_c[s: s + Lv])
+
+
 # ---------------------------------------------------------------------------
 # Parameter (de)serialization — the reference loads Chainer .npz snapshots
 # (SURVEY.md §3.3); here params live in a single msgpack file via flax.

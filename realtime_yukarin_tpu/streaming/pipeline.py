@@ -26,9 +26,10 @@ from realtime_yukarin_tpu.dsp.framing import median3
 from realtime_yukarin_tpu.dsp.synthesis import synthesize
 from realtime_yukarin_tpu.dsp.world import (AcousticFeature,
                                             analyze_given_f0)
-from realtime_yukarin_tpu.models.vocoder_nn import neural_vocode
+from realtime_yukarin_tpu.dsp.synthesis import render
+from realtime_yukarin_tpu.models.vocoder_nn import neural_vocoder_controls
 from realtime_yukarin_tpu.models.voice_changer import (compute_dtype,
-                                                       convert_features)
+                                                       convert_window)
 from realtime_yukarin_tpu.streaming.state import (StreamCarry,
                                                   StreamGeometry, noise_bins)
 
@@ -74,12 +75,6 @@ def frame_noise(key: jax.Array, start_frame, count: int, bins: int
     return table[idx]
 
 
-def _slice_frames(feat: AcousticFeature, start: int, count: int
-                  ) -> AcousticFeature:
-    """Static slice of the frame axis (start/count are Python ints)."""
-    return jax.tree.map(lambda a: a[start: start + count], feat)
-
-
 def streaming_step_impl(params: dict, carry: StreamCarry,
                         chunk: jnp.ndarray, key: jax.Array, cfg: Config,
                         use_sr: bool = True,
@@ -121,18 +116,26 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
         env=jnp.zeros((geo.analysis_frames, cfg.dsp.spec_bins),
                       mc_all.dtype))
 
-    # 3. convert features (models see the full halo; trim to Fc+1 after)
-    conv = convert_features(params, feat, cfg, use_sr=use_sr)
-    conv = _slice_frames(conv, mctx, Fc + 1)
+    # 3. convert features — each stage sliced to exactly the range its
+    # receptive field needs (bit-identical to full-window + trim, ~2x less
+    # SR work); the neural vocoder keeps its own conv halo and trims it
+    # AFTER its control net (a pre-trim would zero-pad its context)
+    ctx_v = cfg.vocoder_nn.context_frames if use_neural_vocoder else 0
+    L = Fc + 1
+    conv = convert_window(params, feat, cfg, mctx, L, vocoder_halo=ctx_v,
+                          use_sr=use_sr)
 
     # 4. synthesize Fc frames with position-deterministic noise
     out_frame0 = carry.frame_pos
     noise = frame_noise(key, out_frame0, Fc, noise_bins(cfg))
     if use_neural_vocoder:
-        out, synth_carry = neural_vocode(
-            params["vocoder"], conv.f0, conv.env, conv.ap, conv.mc, noise,
-            cfg.vocoder_nn, cfg.dsp, carry.synth,
-            dtype=compute_dtype(cfg))
+        amps, nmag, f0f, voiced = neural_vocoder_controls(
+            params["vocoder"], conv.f0, conv.env, conv.ap, conv.mc,
+            cfg.vocoder_nn, cfg.dsp, dtype=compute_dtype(cfg))
+        out, synth_carry = render(
+            amps[ctx_v: ctx_v + L], nmag[ctx_v: ctx_v + L - 1],
+            f0f[ctx_v: ctx_v + L], voiced[ctx_v: ctx_v + L],
+            noise, cfg.dsp, carry.synth)
     else:
         out, synth_carry = synthesize(conv.f0, conv.env, conv.ap, noise,
                                       cfg.dsp, carry.synth)
