@@ -23,10 +23,9 @@ import jax.numpy as jnp
 from realtime_yukarin_tpu.config import Config
 from realtime_yukarin_tpu.dsp.f0 import estimate_f0_raw
 from realtime_yukarin_tpu.dsp.framing import median3
-from realtime_yukarin_tpu.dsp.synthesis import synthesize
+from realtime_yukarin_tpu.dsp.synthesis import render, synthesize
 from realtime_yukarin_tpu.dsp.world import (AcousticFeature,
                                             analyze_given_f0)
-from realtime_yukarin_tpu.dsp.synthesis import render
 from realtime_yukarin_tpu.models.vocoder_nn import neural_vocoder_controls
 from realtime_yukarin_tpu.models.voice_changer import (compute_dtype,
                                                        convert_window)

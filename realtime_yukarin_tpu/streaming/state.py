@@ -29,6 +29,7 @@ buffer, so its window touches exactly the buffer start.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import flax.struct
 import jax.numpy as jnp
@@ -107,22 +108,31 @@ class StreamCarry(flax.struct.PyTreeNode):
     @classmethod
     def init(cls, cfg: Config, geo: StreamGeometry, dtype=jnp.float32
              ) -> "StreamCarry":
-        # caches start as the analysis of silence — exactly what a full
-        # halo recompute over the initial zero buffer would produce for
-        # the cacheable (pre-signal) frames
-        from realtime_yukarin_tpu.dsp.world import analyze
-        C = geo.cache_frames
-        silence = analyze(jnp.zeros((geo.buf_samples,), dtype), C, cfg.dsp,
-                          center_offset=geo.buf_frame0_offset)
+        f0_sil, mc_sil, ap_sil = _silence_features(cfg, geo, jnp.dtype(dtype))
         return cls(
             wave_buf=jnp.zeros((geo.buf_samples,), dtype),
             synth=SynthCarry.zeros(cfg.dsp, dtype),
             frame_pos=jnp.asarray(-geo.delay_frames, jnp.int32),
-            f0_cache=silence.f0,
-            mc_cache=silence.mc,
-            ap_cache=silence.ap,
+            f0_cache=jnp.asarray(f0_sil, dtype),
+            mc_cache=jnp.asarray(mc_sil, dtype),
+            ap_cache=jnp.asarray(ap_sil, dtype),
             f0_raw_prev=jnp.zeros((), dtype),
         )
+
+
+@functools.lru_cache(maxsize=8)
+def _silence_features(cfg: Config, geo: StreamGeometry, dtype):
+    """Analysis of silence for the init caches — exactly what a full halo
+    recompute over the initial zero buffer would produce for the cacheable
+    (pre-signal) frames.  Memoized as host numpy: stream resets (serving
+    drop/rejoin) happen under the device lock and must not re-dispatch the
+    whole analysis chain per connection."""
+    import numpy as np
+    from realtime_yukarin_tpu.dsp.world import analyze
+    silence = analyze(jnp.zeros((geo.buf_samples,), dtype), geo.cache_frames,
+                      cfg.dsp, center_offset=geo.buf_frame0_offset)
+    return (np.asarray(silence.f0), np.asarray(silence.mc),
+            np.asarray(silence.ap))
 
 
 def noise_bins(cfg: Config) -> int:
