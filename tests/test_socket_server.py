@@ -104,3 +104,46 @@ def test_abrupt_disconnect_recovers(served):
     assert y is not None and len(y) >= 0.3 * fs // S * S
     assert np.isfinite(y).all()
     assert float(np.abs(y).max()) > 1e-4, "output silent after recovery"
+
+
+def test_realtime_mode_underrun_contract(tmp_path):
+    """With a throttled ticker (realtime mode), a slow producer's stream
+    keeps advancing on silence (underruns counted) instead of pausing —
+    the reference run.py contract."""
+    import socket as socklib
+    import time as timelib
+
+    import jax
+    from realtime_yukarin_tpu.models.voice_changer import init_params
+    from realtime_yukarin_tpu.runtime.socket_server import SocketVoiceServer
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    # ticker ~50x realtime: one tick every ~2 ms of wall time
+    with SocketVoiceServer(params, cfg, num_streams=8,
+                           realtime_factor=50.0) as srv:
+        fs = cfg.dsp.sample_rate
+        S = srv.chunk_samples
+        x = make_test_signal("harmonic", 0.4, fs).astype(np.float32)
+        s = socklib.create_connection(srv.address)
+        # send the first half, stall past several tick periods, then finish
+        half = len(x) // 2 * 4
+        data = x.astype("<f4").tobytes()
+        s.sendall(data[:half])
+        timelib.sleep(0.5)
+        s.sendall(data[half:])
+        s.shutdown(socklib.SHUT_WR)
+        out = bytearray()
+        s.settimeout(120)
+        while True:
+            b = s.recv(65536)
+            if not b:
+                break
+            out.extend(b)
+        s.close()
+        y = np.frombuffer(bytes(out), "<f4")
+        # the stall forced silence chunks through the stream: output spans
+        # at least the input length, and underruns were recorded
+        assert len(y) >= len(x) // S * S
+        assert np.isfinite(y).all()
+        assert srv.metrics.counters.get("tick_underruns", 0) > 0
