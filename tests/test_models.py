@@ -135,3 +135,39 @@ def test_offline_convert_end_to_end(cfg):
     assert np.isfinite(np.asarray(y)).all()
     rms = float(jnp.sqrt((y ** 2).mean()))
     assert 0.05 < rms < 1.0   # identity-ish conversion preserves energy
+
+
+def test_convert_window_matches_full_convert():
+    """convert_window (per-stage receptive-field slicing) must equal the
+    full-window convert_features + trim on its interior — the streaming
+    path's bit-exactness claim."""
+    from realtime_yukarin_tpu.models.voice_changer import (convert_features,
+                                                           convert_window)
+    from realtime_yukarin_tpu.streaming.state import StreamGeometry
+    from test_parallel import tiny_config
+
+    cfg = tiny_config()
+    geo = StreamGeometry.from_config(cfg, use_sr=True)
+    Fn = geo.analysis_frames
+    rng = np.random.default_rng(0)
+    feat = AcousticFeature(
+        f0=jnp.asarray(np.where(rng.uniform(size=Fn) > 0.3,
+                                150 + 20 * rng.standard_normal(Fn), 0.0),
+                       jnp.float32),
+        env=jnp.zeros((Fn, cfg.dsp.spec_bins), jnp.float32),
+        ap=jnp.asarray(rng.uniform(0.05, 0.95, (Fn, cfg.dsp.num_ap_bands)),
+                       jnp.float32),
+        mc=jnp.asarray(0.1 * rng.standard_normal((Fn, cfg.dsp.mc_dim)),
+                       jnp.float32))
+    params = init_params(jax.random.key(0), cfg)
+
+    t0, L, ctx_v = geo.model_ctx, geo.chunk_frames + 1, 2
+    full = convert_features(params, feat, cfg, use_sr=True)
+    sliced = convert_window(params, feat, cfg, t0, L, vocoder_halo=ctx_v,
+                            use_sr=True)
+    s = t0 - ctx_v
+    for name in ("f0", "env", "ap", "mc"):
+        a = np.asarray(getattr(full, name)[s: s + L + 2 * ctx_v])
+        b = np.asarray(getattr(sliced, name))
+        np.testing.assert_allclose(a, b, rtol=0, atol=0,
+                                   err_msg=f"field {name}")
