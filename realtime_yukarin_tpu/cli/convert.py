@@ -23,7 +23,7 @@ import numpy as np
 
 from realtime_yukarin_tpu.config import Config
 from realtime_yukarin_tpu.models.voice_changer import (init_params,
-                                                       load_params)
+                                                       load_all_params)
 from realtime_yukarin_tpu.pipeline import offline_convert
 from realtime_yukarin_tpu.utils.audio_io import read_wav, write_wav
 
@@ -41,9 +41,7 @@ def main(argv: list[str] | None = None) -> None:
 
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
     params = init_params(jax.random.key(cfg.seed), cfg)
-    params_path = args.params_path or cfg.stage1_params_path
-    if params_path:
-        params = load_params(params, params_path)
+    params = load_all_params(params, cfg, params_path=args.params_path)
 
     x, rate = read_wav(args.input_path, target_rate=cfg.dsp.sample_rate)
     hop = cfg.dsp.hop

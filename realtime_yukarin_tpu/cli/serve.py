@@ -30,7 +30,7 @@ import jax
 
 from realtime_yukarin_tpu.config import Config
 from realtime_yukarin_tpu.models.voice_changer import (init_params,
-                                                       load_params)
+                                                       load_all_params)
 from realtime_yukarin_tpu.streaming.stream import VoiceChangerStream
 from realtime_yukarin_tpu.utils.audio_io import (read_raw_f32, read_wav,
                                                  write_raw_f32, write_wav)
@@ -76,8 +76,7 @@ def main(argv: list[str] | None = None) -> None:
 
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
     params = init_params(jax.random.key(cfg.seed), cfg)
-    if args.params_path:
-        params = load_params(params, args.params_path)
+    params = load_all_params(params, cfg, params_path=args.params_path)
 
     from realtime_yukarin_tpu.utils.profiling import trace
     if args.socket is not None:

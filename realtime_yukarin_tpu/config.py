@@ -130,10 +130,15 @@ class VocoderNNConfig:
 
 @dataclasses.dataclass(frozen=True)
 class StreamingConfig:
-    """Chunked-streaming geometry (reference: chunk sizes + extra_time)."""
+    """Chunked-streaming geometry.
+
+    The reference exposed per-stage ``extra_time`` halos as config; here
+    every halo is *derived* from the model receptive fields
+    (streaming/state.py StreamGeometry), so the only user knob is the
+    chunk hop itself — a halo knob independent of the receptive fields
+    could only be mis-set."""
 
     chunk_ms: float = 100.0               # 0.1 s hops (BASELINE config #2)
-    extra_ms: float = 40.0                # halo context on each side
 
     def chunk_samples(self, dsp: DspConfig) -> int:
         n = int(round(dsp.sample_rate * self.chunk_ms / 1000.0))
@@ -143,17 +148,13 @@ class StreamingConfig:
     def chunk_frames(self, dsp: DspConfig) -> int:
         return self.chunk_samples(dsp) // dsp.hop
 
-    def extra_frames(self, dsp: DspConfig) -> int:
-        return int(math.ceil(self.extra_ms / dsp.frame_period_ms))
-
 
 @dataclasses.dataclass(frozen=True)
 class ServingConfig:
-    """Batched multi-stream serving (BASELINE config #5)."""
+    """Batched multi-stream serving (BASELINE config #5).  Mesh axis names
+    are a code convention (parallel/mesh.py), not configuration."""
 
     num_streams: int = 64
-    data_axis: str = "data"
-    model_axis: str = "model"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,7 +169,14 @@ class Config:
     streaming: StreamingConfig = dataclasses.field(
         default_factory=StreamingConfig)
     serving: ServingConfig = dataclasses.field(default_factory=ServingConfig)
-    # Paths (reference: stage1/stage2 model + config + f0 statistics files)
+    # Paths (reference: stage1/stage2 model + config + f0 statistics files).
+    # params_path holds the full parameter tree (one msgpack, the training
+    # checkpoint format); the per-stage paths override individual subtrees
+    # so stages trained separately can be mixed — mirroring the reference's
+    # separate stage-1/stage-2 model files.  The statistics paths are
+    # F0Statistics .npz files overriding params["f0_stats"].
+    # Consumed by models.voice_changer.load_all_params (both CLIs).
+    params_path: str | None = None
     stage1_params_path: str | None = None
     stage2_params_path: str | None = None
     vocoder_params_path: str | None = None

@@ -126,3 +126,38 @@ def save_params(params: dict, path: str) -> None:
 def load_params(template: dict, path: str) -> dict:
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
+
+
+def load_all_params(params: dict, cfg: Config,
+                    params_path: str | None = None) -> dict:
+    """Apply every params/statistics path the config names (plus an
+    explicit CLI override) to an initialized tree.
+
+    Order (later wins): cfg.params_path (full tree) -> explicit
+    ``params_path`` arg (full tree) -> per-stage subtree files
+    (stage1/stage2/vocoder) -> F0 statistics .npz overrides.  This is the
+    reference's model-load step (SURVEY.md §3.3: separate stage-1/stage-2
+    snapshots + input/target statistics .npy) for the single-tree format.
+    """
+    for full in (cfg.params_path, params_path):
+        if full:
+            params = load_params(params, full)
+    for key, path in (("stage1", cfg.stage1_params_path),
+                      ("stage2", cfg.stage2_params_path),
+                      ("vocoder", cfg.vocoder_params_path)):
+        if path:
+            params = dict(params)
+            params[key] = load_params(params[key], path)
+    stats_keys = ((cfg.input_statistics_path, "src_mean", "src_std"),
+                  (cfg.target_statistics_path, "tgt_mean", "tgt_std"))
+    if any(p for p, *_ in stats_keys):
+        params = dict(params)
+        f0_stats = dict(params["f0_stats"])
+        for path, mean_key, std_key in stats_keys:
+            if path:
+                d = np.load(path, allow_pickle=False)
+                f0_stats[mean_key] = jnp.asarray(float(d["mean"]),
+                                                 jnp.float32)
+                f0_stats[std_key] = jnp.asarray(float(d["std"]), jnp.float32)
+        params["f0_stats"] = f0_stats
+    return params

@@ -123,6 +123,61 @@ def test_params_save_load_roundtrip(cfg, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_all_params_config_paths(cfg, tmp_path):
+    """Every Config path field is load-bearing: per-stage subtree files and
+    F0-statistics .npz files override exactly their part of the tree."""
+    import dataclasses
+    from realtime_yukarin_tpu.models.f0_stats import F0Statistics
+    from realtime_yukarin_tpu.models.voice_changer import load_all_params
+
+    base = init_params(jax.random.key(0), cfg)
+    other = init_params(jax.random.key(7), cfg)
+    full_p = str(tmp_path / "full.msgpack")
+    s2_p = str(tmp_path / "stage2.msgpack")
+    stats_p = str(tmp_path / "tgt_stats.npz")
+    save_params(other, full_p)
+    save_params(other["stage2"], s2_p)
+    F0Statistics(mean=5.5, std=0.4).save(stats_p)
+
+    cfg2 = dataclasses.replace(cfg, params_path=full_p)
+    got = load_all_params(init_params(jax.random.key(0), cfg), cfg2)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(got["stage1"])[0]),
+        np.asarray(jax.tree.leaves(other["stage1"])[0]))
+
+    cfg3 = dataclasses.replace(cfg, stage2_params_path=s2_p,
+                               target_statistics_path=stats_p)
+    got = load_all_params(init_params(jax.random.key(0), cfg), cfg3)
+    # stage2 overridden, stage1 untouched, target f0 stats from the npz
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(got["stage2"])[0]),
+        np.asarray(jax.tree.leaves(other["stage2"])[0]))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(got["stage1"])[0]),
+        np.asarray(jax.tree.leaves(base["stage1"])[0]))
+    assert float(got["f0_stats"]["tgt_mean"]) == 5.5
+    assert abs(float(got["f0_stats"]["tgt_std"]) - 0.4) < 1e-6
+    assert float(got["f0_stats"]["src_mean"]) == float(
+        base["f0_stats"]["src_mean"])
+
+
+def test_config_geometry_is_consumed(cfg):
+    """StreamGeometry consumes what StreamingConfig promises: the chunk hop
+    follows chunk_ms, and halos derive from the model receptive fields."""
+    import dataclasses
+    from realtime_yukarin_tpu.streaming.state import StreamGeometry
+
+    half = dataclasses.replace(
+        cfg, streaming=dataclasses.replace(cfg.streaming, chunk_ms=50.0))
+    g_full = StreamGeometry.from_config(cfg)
+    g_half = StreamGeometry.from_config(half)
+    assert g_half.chunk_samples * 2 == g_full.chunk_samples
+    assert g_full.model_ctx == (cfg.acoustic.context_frames
+                                + cfg.super_resolution.context_frames + 1)
+    # no dead halo knob survives in the config
+    assert not hasattr(cfg.streaming, "extra_ms")
+
+
 def test_offline_convert_end_to_end(cfg):
     from realtime_yukarin_tpu.pipeline import offline_convert
     params = init_params(jax.random.key(0), cfg)
