@@ -53,19 +53,25 @@ def shard_batch_pytree(mesh: Mesh, tree):
         tree)
 
 
-def model_shard_params(mesh: Mesh, params):
-    """Sharding tree for params: tensors whose LAST axis divides the model
-    axis get sharded there (Megatron-style column split for conv/dense
-    kernels); everything else replicates.  GSPMD inserts the collectives,
-    so any choice here is correctness-preserving.
+def model_shard_specs(mesh: Mesh, params):
+    """PartitionSpec tree for params: tensors whose LAST axis divides the
+    model axis get sharded there (Megatron-style column split for
+    conv/dense kernels); everything else replicates.  GSPMD inserts the
+    collectives, so any choice here is correctness-preserving.
     """
     msize = mesh.shape[MODEL_AXIS]
 
     def rule(x):
         if (msize > 1 and x.ndim >= 2 and x.shape[-1] % msize == 0
                 and x.shape[-1] >= 2 * msize):
-            spec = [None] * (x.ndim - 1) + [MODEL_AXIS]
-            return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+            return P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
+        return P()
 
     return jax.tree.map(rule, params)
+
+
+def model_shard_params(mesh: Mesh, params):
+    """NamedSharding tree over :func:`model_shard_specs`."""
+    return jax.tree.map(lambda s: NamedSharding(mesh, s),
+                        model_shard_specs(mesh, params),
+                        is_leaf=lambda x: isinstance(x, P))

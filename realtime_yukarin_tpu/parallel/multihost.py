@@ -75,6 +75,43 @@ def host_local_to_global(mesh: Mesh, tree):
     return jax.tree.map(one, tree)
 
 
+def put_global(mesh: Mesh, tree, spec_tree):
+    """device_put a host-local pytree to (possibly multi-process) global
+    shardings.  Single-process this is a plain device_put; at N processes
+    it goes through ``host_local_array_to_global_array`` — every process
+    must pass the same value for replicated leaves (params) and its local
+    slice for sharded ones.
+    """
+    if jax.process_count() == 1:
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
+                                 is_leaf=lambda x: isinstance(x, P))
+        return jax.device_put(tree, shardings)
+    return multihost_utils.host_local_array_to_global_array(
+        tree, mesh, spec_tree)
+
+
+def host_local_rows(arr) -> tuple[int, int, "np.ndarray"]:
+    """Fetch this process's rows of a global batch-sharded array.
+
+    Returns (row_start, row_stop, data): the contiguous global slice of
+    axis 0 whose shards live on this process's devices (deduped when the
+    rows are replicated over a model axis).  This is the output edge of
+    multi-host serving: each host reads back only its own clients' audio.
+    """
+    by_start: dict[int, object] = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = s.data
+    starts = sorted(by_start)
+    rows = [np.asarray(by_start[s]) for s in starts]
+    n_rows = sum(r.shape[0] for r in rows)
+    stop = starts[-1] + rows[-1].shape[0]
+    if starts[0] + n_rows != stop:
+        raise ValueError(f"non-contiguous local rows: {starts}")
+    return starts[0], stop, np.concatenate(rows, axis=0)
+
+
 def broadcast_from_host0(tree):
     """Make host 0's pytree identical on every host (e.g. fresh params, so
     all hosts start from the same init without a shared filesystem)."""
