@@ -344,3 +344,31 @@ def analyze(x: np.ndarray, cfg: DspConfig):
     ap = band_aperiodicity(x, f0, num_frames, cfg)
     mc = encode_mcep(env, cfg)
     return dict(f0=f0, env=env, ap=ap, mc=mc)
+
+
+# ---------------------------------------------------------------------------
+# Rational resampling (golden): direct windowed-sinc evaluation
+# ---------------------------------------------------------------------------
+
+def resample(x: np.ndarray, rate_in: int, rate_out: int, delay_out: int,
+             half_width: int, beta: float, rolloff: float) -> np.ndarray:
+    """Obviously-correct direct form of the streaming resampler: for each
+    output n, evaluate the Kaiser-windowed sinc at input position
+    (n - delay_out)·M/L with zero history before t=0.  O(T·HW) loops —
+    test-only."""
+    import math
+    g = math.gcd(rate_in, rate_out)
+    L, M = rate_out // g, rate_in // g
+    cutoff = rolloff * min(1.0, L / M)
+    T_out = len(x) * L // M
+    y = np.zeros(T_out, np.float64)
+    for n in range(T_out):
+        p = (n - delay_out) * M / L
+        k_lo = int(np.ceil(p - half_width))
+        k_hi = int(np.floor(p + half_width))
+        for k in range(max(k_lo, 0), min(k_hi, len(x) - 1) + 1):
+            t = p - k
+            w = (np.i0(beta * np.sqrt(max(0.0, 1 - (t / half_width) ** 2)))
+                 / np.i0(beta))
+            y[n] += x[k] * cutoff * np.sinc(cutoff * t) * w
+    return y.astype(np.float32)
