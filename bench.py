@@ -59,7 +59,7 @@ def bench_throughput(params, cfg, num_streams: int, steps: int,
 
 def bench_latency(params, cfg, iters: int) -> tuple[float, float]:
     """Single-stream per-chunk wall latency (p50, p99) in ms."""
-    carry, geo = init_stream(cfg)
+    carry, geo = init_stream(params, cfg)
     chunk = jnp.asarray(np.random.default_rng(1).standard_normal(
         geo.chunk_samples), jnp.float32)
     key = jax.random.key(0)

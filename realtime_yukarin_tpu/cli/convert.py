@@ -24,7 +24,7 @@ import numpy as np
 from realtime_yukarin_tpu.config import Config
 from realtime_yukarin_tpu.models.voice_changer import (init_params,
                                                        load_all_params)
-from realtime_yukarin_tpu.pipeline import offline_convert
+from realtime_yukarin_tpu.pipeline import offline_convert_io
 from realtime_yukarin_tpu.utils.audio_io import read_wav, write_wav
 
 
@@ -43,18 +43,17 @@ def main(argv: list[str] | None = None) -> None:
     params = init_params(jax.random.key(cfg.seed), cfg)
     params = load_all_params(params, cfg, params_path=args.params_path)
 
-    x, rate = read_wav(args.input_path, target_rate=cfg.dsp.sample_rate)
-    hop = cfg.dsp.hop
-    num_frames = len(x) // hop
-    x = x[: num_frames * hop]
-
-    y = offline_convert(params, jnp.asarray(x), jax.random.key(args.seed),
-                        cfg, num_frames, use_sr=not args.no_sr,
-                        use_neural_vocoder=(args.neural_vocoder
-                                            or cfg.use_neural_vocoder))
-    write_wav(args.output_path, np.asarray(y), cfg.dsp.sample_rate)
+    # files are read at the configured INPUT rate and written at the
+    # OUTPUT rate; the device pipeline resamples to/from the internal
+    # rate itself (pipeline.offline_convert_io)
+    x, rate = read_wav(args.input_path, target_rate=cfg.dsp.in_rate)
+    y = offline_convert_io(params, jnp.asarray(x), jax.random.key(args.seed),
+                           cfg, use_sr=not args.no_sr,
+                           use_neural_vocoder=(args.neural_vocoder
+                                               or cfg.use_neural_vocoder))
+    write_wav(args.output_path, np.asarray(y), cfg.dsp.out_rate)
     print(f"wrote {args.output_path}: {len(np.asarray(y))} samples "
-          f"@ {cfg.dsp.sample_rate} Hz")
+          f"@ {cfg.dsp.out_rate} Hz")
 
 
 if __name__ == "__main__":

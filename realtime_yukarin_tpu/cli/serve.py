@@ -109,13 +109,16 @@ def main(argv: list[str] | None = None) -> None:
                                 use_neural_vocoder=args.neural_vocoder,
                                 seed=args.seed)
     S = stream.chunk_samples
-    fs = cfg.dsp.sample_rate
+    fs = cfg.dsp.in_rate
+    fs_out = cfg.dsp.out_rate
     lat_ms: list[float] = []
     outputs: list[np.ndarray] = []
 
-    print(f"[serve] chunk={S} samples ({1000 * S / fs:.0f} ms), "
-          f"algorithmic latency={stream.latency_samples} samples "
-          f"({1000 * stream.latency_samples / fs:.0f} ms)", file=sys.stderr)
+    print(f"[serve] chunk={S} samples ({1000 * S / fs:.0f} ms) @{fs} Hz in, "
+          f"@{fs_out} Hz out, algorithmic latency="
+          f"{stream.latency_samples} samples "
+          f"({1000 * stream.latency_samples / fs_out:.0f} ms)",
+          file=sys.stderr)
 
     def push(chunk: np.ndarray) -> None:
         t0 = time.perf_counter()
@@ -145,7 +148,7 @@ def main(argv: list[str] | None = None) -> None:
     tail = stream.flush()
     if args.output_wav:
         outputs.append(tail)
-        write_wav(args.output_wav, np.concatenate(outputs), fs)
+        write_wav(args.output_wav, np.concatenate(outputs), fs_out)
     else:
         write_raw_f32(sys.stdout.buffer, tail)
 
@@ -161,7 +164,7 @@ def _serve_pipelined(args, cfg: Config, params: dict) -> None:
                          use_neural_vocoder=args.neural_vocoder,
                          seed=args.seed, depth=args.depth) as stream:
         S = stream.chunk_samples
-        fs = cfg.dsp.sample_rate
+        fs = cfg.dsp.in_rate
         print(f"[serve] pipelined depth={args.depth} chunk={S} samples "
               f"({1000 * S / fs:.0f} ms), algorithmic latency="
               f"{stream.latency_samples} samples", file=sys.stderr)
@@ -196,7 +199,7 @@ def _serve_pipelined(args, cfg: Config, params: dict) -> None:
         if args.output_wav:
             y = (np.concatenate(outputs) if outputs
                  else np.zeros(0, np.float32))
-            write_wav(args.output_wav, y, fs)
+            write_wav(args.output_wav, y, cfg.dsp.out_rate)
         print(f"[serve] {stream.metrics.to_json()}", file=sys.stderr)
 
 

@@ -32,7 +32,14 @@ except Exception:  # pragma: no cover
 class DspConfig:
     """WORLD-equivalent analysis/synthesis parameters."""
 
-    sample_rate: int = 24000
+    sample_rate: int = 24000              # internal processing rate
+    # Client-facing rates (reference config: separate input/output sample
+    # rates).  None = same as sample_rate.  When they differ, the fused
+    # streaming step resamples on-device at its edges (dsp/resample.py):
+    # a 16 kHz mic client is served at 16 kHz in / 24 kHz (or 48 kHz…) out
+    # while analysis/models/synthesis all run at sample_rate.
+    input_rate: int | None = None
+    output_rate: int | None = None
     frame_period_ms: float = 5.0          # hop between feature frames
     fft_size: int = 1024                  # spectral envelope resolution
     f0_floor: float = 71.0
@@ -58,6 +65,14 @@ class DspConfig:
     @property
     def hop(self) -> int:
         return int(round(self.sample_rate * self.frame_period_ms / 1000.0))
+
+    @property
+    def in_rate(self) -> int:
+        return self.input_rate or self.sample_rate
+
+    @property
+    def out_rate(self) -> int:
+        return self.output_rate or self.sample_rate
 
     @property
     def spec_bins(self) -> int:

@@ -126,19 +126,22 @@ def resample_chunk(carry: jnp.ndarray | None, chunk: jnp.ndarray,
 
 
 def resample_signal(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
-    """One-shot equivalent of the streaming resampler: returns exactly the
-    concatenation of resample_chunk outputs over x split into chunk_in
-    blocks (x length must be a chunk multiple), zero initial history."""
+    """One-shot equivalent of the streaming resampler (zero history): the
+    output is chunking-independent, so this pads x up to a chunk multiple,
+    scans resample_chunk, and trims to floor(T·L/M) samples — bit-equal to
+    the streamed concatenation on the original extent."""
     if plan.identity:
         return x
     T = x.shape[-1]
-    assert T % plan.chunk_in == 0, (T, plan.chunk_in)
-    k = T // plan.chunk_in
+    g = math.gcd(plan.rate_in, plan.rate_out)
+    T_out = T * (plan.rate_out // g) // (plan.rate_in // g)
+    k = -(-T // plan.chunk_in)
+    xp = jnp.pad(x, (0, k * plan.chunk_in - T))
 
     def step(carry, chunk):
         y, carry = resample_chunk(carry, chunk, plan)
         return carry, y
 
     _, ys = jax.lax.scan(step, init_carry(plan, x.dtype),
-                         x.reshape(k, plan.chunk_in))
-    return ys.reshape(k * plan.chunk_out)
+                         xp.reshape(k, plan.chunk_in))
+    return ys.reshape(k * plan.chunk_out)[:T_out]

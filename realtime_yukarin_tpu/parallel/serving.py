@@ -36,9 +36,9 @@ from realtime_yukarin_tpu.streaming.pipeline import streaming_step_impl
 from realtime_yukarin_tpu.streaming.state import StreamCarry, StreamGeometry
 
 
-def batched_carry_init(cfg: Config, geo: StreamGeometry, num_streams: int
-                       ) -> StreamCarry:
-    one = StreamCarry.init(cfg, geo)
+def batched_carry_init(cfg: Config, geo: StreamGeometry, num_streams: int,
+                       params: dict) -> StreamCarry:
+    one = StreamCarry.init(cfg, geo, params)
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (num_streams,) + x.shape).copy(),
         one)
@@ -111,7 +111,7 @@ class BatchedServer:
         # init through jit-with-out-shardings: at N processes this is one
         # collective program materializing each host's shards — a plain
         # device_put of host arrays cannot target non-addressable devices
-        one = StreamCarry.init(cfg, self._geo)
+        one = StreamCarry.init(cfg, self._geo, params)
         carry_shardings = shard_batch_pytree(
             self._mesh, jax.tree.map(lambda x: jnp.zeros((n,) + x.shape),
                                      one))
@@ -139,11 +139,18 @@ class BatchedServer:
 
     @property
     def chunk_samples(self) -> int:
-        return self._geo.chunk_samples
+        """Input chunk size (samples at cfg.dsp.in_rate)."""
+        return self._geo.chunk_in_samples
+
+    @property
+    def chunk_out_samples(self) -> int:
+        """Output chunk size (samples at cfg.dsp.out_rate)."""
+        return self._geo.chunk_out_samples
 
     @property
     def latency_samples(self) -> int:
-        return self._geo.latency_samples(self._cfg.dsp.hop)
+        """End-to-end delay in OUTPUT-rate samples."""
+        return self._geo.latency_out_samples(self._cfg.dsp)
 
     def _mask(self, m, default: bool, n: int) -> np.ndarray:
         if m is None:
@@ -155,7 +162,7 @@ class BatchedServer:
     # -- single-process (global-batch) API ---------------------------------
 
     def step(self, chunks: np.ndarray, live=None, reset=None) -> np.ndarray:
-        """chunks [N, chunk_samples] -> converted [N, chunk_samples].
+        """chunks [N, chunk_samples] -> converted [N, chunk_out_samples].
 
         ``live`` (optional [N] bool) pauses False lanes: their carry is
         kept and their output is zeros.  ``reset`` ([N] bool) re-zeros a
@@ -204,7 +211,7 @@ class BatchedServer:
             "live": self._mask(live, True, nl),
             "reset": self._mask(reset, False, nl),
         }
-        assert local["chunks"].shape == (nl, self._geo.chunk_samples)
+        assert local["chunks"].shape == (nl, self._geo.chunk_in_samples)
         g = host_local_to_global(self._mesh, local)
         out, self._carries = self._step(self._params, self._init_carry,
                                         self._carries, g["chunks"],
@@ -219,6 +226,7 @@ class BatchedServer:
         if jax.process_count() > 1:
             raise RuntimeError("multi-process run: pass reset masks to "
                                "step_local()")
-        one = StreamCarry.init(self._cfg, self._geo)
+        one = StreamCarry.init(self._cfg, self._geo,
+                               jax.tree.map(np.asarray, self._params))
         self._carries = jax.tree.map(
             lambda c, o: c.at[i].set(o), self._carries, one)

@@ -62,6 +62,28 @@ def offline_convert(params: dict, wave: jnp.ndarray, key: jax.Array,
     return out
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "use_sr", "use_neural_vocoder"))
+def offline_convert_io(params: dict, wave_in: jnp.ndarray, key: jax.Array,
+                       cfg: Config, use_sr: bool = True,
+                       use_neural_vocoder: bool = False) -> jnp.ndarray:
+    """Client-rate offline conversion: wave at cfg.dsp.in_rate ->
+    converted wave at cfg.dsp.out_rate, through the same resample plans
+    the streaming step uses (so streamed == offline holds across rates).
+    Identity plans make this exactly :func:`offline_convert`."""
+    from realtime_yukarin_tpu.dsp.resample import resample_signal
+    from realtime_yukarin_tpu.streaming.state import (StreamGeometry,
+                                                      input_plan,
+                                                      output_plan)
+    geo = StreamGeometry.from_config(cfg, use_sr, use_neural_vocoder)
+    x = resample_signal(wave_in, input_plan(cfg.dsp, geo.chunk_samples))
+    hop = cfg.dsp.hop
+    F = x.shape[0] // hop
+    y = offline_convert(params, x[: F * hop], key, cfg, F, use_sr,
+                        use_neural_vocoder)
+    return resample_signal(y, output_plan(cfg.dsp, geo.chunk_samples))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
 def offline_analyze(wave: jnp.ndarray, cfg: Config, num_frames: int
                     ) -> AcousticFeature:

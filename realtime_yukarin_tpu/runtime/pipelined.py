@@ -54,7 +54,8 @@ class PipelinedStream:
         self._use_sr = use_sr
         self._use_nn = use_neural_vocoder
         self._key = jax.random.key(seed)
-        self._carry, self._geo = init_stream(cfg, use_sr, use_neural_vocoder)
+        self._carry, self._geo = init_stream(params, cfg, use_sr,
+                                             use_neural_vocoder)
         self._depth = max(1, depth)
 
         if warmup:
@@ -64,14 +65,13 @@ class PipelinedStream:
             # carry, so warm up on a throwaway copy.
             scratch = jax.tree.map(jnp.copy, self._carry)
             y, _ = streaming_step(params, scratch,
-                                  jnp.zeros(self._geo.chunk_samples,
+                                  jnp.zeros(self._geo.chunk_in_samples,
                                             jnp.float32),
                                   self._key, cfg, use_sr, use_neural_vocoder)
             np.asarray(y[:1])                  # sync: compile finished
 
-        cap = int(ring_seconds * cfg.dsp.sample_rate)
-        self._in_rb = RingBuffer(cap)
-        self._out_rb = RingBuffer(cap)
+        self._in_rb = RingBuffer(int(ring_seconds * cfg.dsp.in_rate))
+        self._out_rb = RingBuffer(int(ring_seconds * cfg.dsp.out_rate))
         self.metrics = ServingMetrics()
 
         self._stop = threading.Event()
@@ -85,11 +85,17 @@ class PipelinedStream:
 
     @property
     def chunk_samples(self) -> int:
-        return self._geo.chunk_samples
+        """Input chunk size (samples at cfg.dsp.in_rate)."""
+        return self._geo.chunk_in_samples
+
+    @property
+    def chunk_out_samples(self) -> int:
+        return self._geo.chunk_out_samples
 
     @property
     def latency_samples(self) -> int:
-        return self._geo.latency_samples(self._cfg.dsp.hop)
+        """End-to-end delay in OUTPUT-rate samples."""
+        return self._geo.latency_out_samples(self._cfg.dsp)
 
     def push_input(self, pcm: np.ndarray) -> int:
         """Producer: enqueue PCM; returns samples accepted (drops counted)."""
@@ -115,8 +121,8 @@ class PipelinedStream:
         """Feed silence to drain algorithmic latency + in-flight chunks,
         then wait until everything reached the output ring.  The generous
         default covers first-use compilation when warmup was disabled."""
-        S = self._geo.chunk_samples
-        n_lat = -(-self.latency_samples // S)
+        S = self._geo.chunk_in_samples
+        n_lat = -(-self.latency_samples // self._geo.chunk_out_samples)
         self.push_input(np.zeros((n_lat + 1) * S, np.float32))
         self._flushing.set()
         if not self._drained.wait(timeout):
@@ -138,7 +144,7 @@ class PipelinedStream:
     # -- dispatch thread ---------------------------------------------------
 
     def _dispatch_loop(self) -> None:
-        S = self._geo.chunk_samples
+        S = self._geo.chunk_in_samples
         inflight: list[tuple[float, object]] = []
 
         def retire_oldest():

@@ -3,7 +3,8 @@
 The reference serves exactly one caller: the desktop mic (SURVEY.md §3.1
 run.py).  This server makes BASELINE config #5 a product surface: N
 concurrent callers connect over TCP, each streams raw float32 mono PCM at
-``cfg.dsp.sample_rate`` and reads converted PCM back; ALL active streams
+``cfg.dsp.in_rate`` and reads converted PCM back at ``cfg.dsp.out_rate``
+(the on-device resample edges of the fused step); ALL active streams
 advance together in ONE BatchedServer device step per tick.
 
 Wire protocol (deliberately trivial — any client that can open a socket
@@ -70,10 +71,11 @@ class SocketVoiceServer:
                                      use_sr=use_sr,
                                      use_neural_vocoder=use_neural_vocoder,
                                      seed=seed)
-        self._S = self._server.chunk_samples
-        self._n_drain = -(-self._server.latency_samples // self._S) + 1
+        self._S = self._server.chunk_samples            # input chunk
+        self._So = self._server.chunk_out_samples       # output chunk
+        self._n_drain = -(-self._server.latency_samples // self._So) + 1
         self._rt = realtime_factor
-        cap = int(ring_seconds * cfg.dsp.sample_rate)
+        cap = int(ring_seconds * max(cfg.dsp.in_rate, cfg.dsp.out_rate))
         # BatchedServer rounds num_streams up to the mesh data axis
         self._slots = [_Slot(cap) for _ in range(self._server.num_streams)]
         self._lock = threading.Lock()
@@ -106,7 +108,12 @@ class SocketVoiceServer:
 
     @property
     def chunk_samples(self) -> int:
+        """Input chunk size (samples at cfg.dsp.in_rate)."""
         return self._S
+
+    @property
+    def chunk_out_samples(self) -> int:
+        return self._So
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -236,7 +243,7 @@ class SocketVoiceServer:
 
     def _tick_loop_impl(self) -> None:
         S = self._S
-        period = (S / self._cfg.dsp.sample_rate / self._rt
+        period = (S / self._cfg.dsp.in_rate / self._rt
                   if self._rt > 0 else 0.0)
         N = len(self._slots)
         chunks = np.zeros((N, S), np.float32)
@@ -288,7 +295,7 @@ class SocketVoiceServer:
                     if not s.active or s.gen != gens[i]:
                         continue
                     pushed = s.out_rb.push(out[i])
-                if pushed < S:
+                if pushed < self._So:
                     self.metrics.incr("output_overruns")
                 if s.eof and s.drain_left <= 0:
                     s.done.set()

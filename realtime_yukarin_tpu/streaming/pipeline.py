@@ -26,11 +26,16 @@ from realtime_yukarin_tpu.dsp.framing import median3
 from realtime_yukarin_tpu.dsp.synthesis import render, synthesize
 from realtime_yukarin_tpu.dsp.world import (AcousticFeature,
                                             analyze_given_f0)
+from realtime_yukarin_tpu.dsp.mcep import decode_mcep
+from realtime_yukarin_tpu.models.acoustic import convert_mc_streamed
+from realtime_yukarin_tpu.models.super_resolution import refine_envelope
 from realtime_yukarin_tpu.models.vocoder_nn import neural_vocoder_controls
 from realtime_yukarin_tpu.models.voice_changer import (compute_dtype,
-                                                       convert_window)
+                                                       convert_f0_stats)
+from realtime_yukarin_tpu.dsp.resample import resample_chunk
 from realtime_yukarin_tpu.streaming.state import (StreamCarry,
-                                                  StreamGeometry, noise_bins)
+                                                  StreamGeometry, input_plan,
+                                                  noise_bins, output_plan)
 
 
 NOISE_TABLE_FRAMES = 4096   # ~20 s of excitation before the table wraps
@@ -81,14 +86,22 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
                         ) -> tuple[jnp.ndarray, StreamCarry]:
     """One chunk in, one chunk out (constant D-frame latency).
 
-    chunk: [chunk_samples] new input PCM.  Returns converted PCM of the
-    same length and the next carry.  The carry argument is donated: state
-    stays on-device, buffers are reused in place.
+    chunk: [chunk_in_samples] new input PCM at cfg.dsp.in_rate.  Returns
+    converted PCM [chunk_out_samples] at cfg.dsp.out_rate and the next
+    carry.  The carry argument is donated: state stays on-device, buffers
+    are reused in place.  When the client rates differ from the internal
+    rate, the polyphase resamplers run here inside the same fused program
+    (one extra matmul per edge).
     """
     geo = StreamGeometry.from_config(cfg, use_sr, use_neural_vocoder)
     hop = cfg.dsp.hop
     Fc = geo.chunk_frames
     mctx = geo.model_ctx
+
+    # 0. resample the client chunk to the internal rate (frame-aligned
+    # delay, so the rest of the pipeline is oblivious)
+    chunk, rs_in = resample_chunk(carry.rs_in, chunk,
+                                  input_plan(cfg.dsp, geo.chunk_samples))
 
     # 1. roll the wave buffer and append the new chunk
     buf = jnp.concatenate([carry.wave_buf[geo.chunk_samples:], chunk])
@@ -109,20 +122,43 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     f0_all = jnp.concatenate([carry.f0_cache, f0_fresh])
     mc_all = jnp.concatenate([carry.mc_cache, ffresh.mc])
     ap_all = jnp.concatenate([carry.ap_cache, ffresh.ap])
-    feat = AcousticFeature(
-        f0=f0_all, ap=ap_all, mc=mc_all,
-        # conversion consumes f0/mc/ap only; the placeholder env is DCE'd
-        env=jnp.zeros((geo.analysis_frames, cfg.dsp.spec_bins),
-                      mc_all.dtype))
 
-    # 3. convert features — each stage sliced to exactly the range its
-    # receptive field needs (bit-identical to full-window + trim, ~2x less
-    # SR work); the neural vocoder keeps its own conv halo and trims it
-    # AFTER its control net (a pre-trim would zero-pad its context)
+    # 3. convert features.  Stage 1 advances via per-layer streaming conv
+    # caches: only the Fc newly-final input frames [Fn-1-Fc, Fn-1) are fed
+    # (frame Fn-1 is the provisional median edge), each conv runs VALID
+    # over its cached k-1 tail + the fresh frames, and the resulting
+    # outputs (which lag c1 frames) extend the carried stage-1 output
+    # cache to exactly the range SR + synthesis need: window frames
+    # [c1+1, Fn-c1-1).  Bit-identical to the full-window forward
+    # (tests/test_models.py::test_stage1_streamed_bit_exact); cuts stage-1
+    # conv work from Fn to ~Fc frames per step.
     ctx_v = cfg.vocoder_nn.context_frames if use_neural_vocoder else 0
+    ctx_sr = cfg.super_resolution.context_frames if use_sr else 0
+    c1 = cfg.acoustic.context_frames
+    dtype = compute_dtype(cfg)
+    Fn = geo.analysis_frames
     L = Fc + 1
-    conv = convert_window(params, feat, cfg, mctx, L, vocoder_halo=ctx_v,
-                          use_sr=use_sr)
+    Lv = L + 2 * ctx_v
+    s = mctx - ctx_v                      # first frame synthesis consumes
+
+    res, stage1_acts = convert_mc_streamed(
+        params["stage1"], mc_all[Fn - 1 - Fc: Fn - 1],
+        f0_all[Fn - 1 - Fc: Fn - 1], carry.stage1_acts, cfg.acoustic, dtype)
+    mc_c_fresh = mc_all[Fn - 1 - c1 - Fc: Fn - 1 - c1] + res
+    mc_c_need = jnp.concatenate([carry.mc_c_cache, mc_c_fresh])
+    f0c_need = convert_f0_stats(f0_all[c1 + 1: Fn - c1 - 1],
+                                params["f0_stats"])
+    env_low = decode_mcep(mc_c_need, cfg.dsp)
+    if use_sr:
+        env_mid = refine_envelope(params["stage2"], env_low,
+                                  cfg.super_resolution, cfg.dsp, dtype)
+    else:
+        env_mid = env_low
+    # frame s sits at needed-array index ctx_sr (= s - (c1+1))
+    conv = AcousticFeature(f0=f0c_need[ctx_sr: ctx_sr + Lv],
+                           env=env_mid[ctx_sr: ctx_sr + Lv],
+                           ap=ap_all[s: s + Lv],
+                           mc=mc_c_need[ctx_sr: ctx_sr + Lv])
 
     # 4. synthesize Fc frames with position-deterministic noise
     out_frame0 = carry.frame_pos
@@ -139,9 +175,14 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
         out, synth_carry = synthesize(conv.f0, conv.env, conv.ap, noise,
                                       cfg.dsp, carry.synth)
 
-    Fn = geo.analysis_frames
+    # 5. resample the converted chunk to the client output rate
+    out, rs_out = resample_chunk(carry.rs_out, out,
+                                 output_plan(cfg.dsp, geo.chunk_samples))
+
     new_carry = StreamCarry(
         wave_buf=buf, synth=synth_carry, frame_pos=out_frame0 + Fc,
+        mc_c_cache=mc_c_need[Fc:], stage1_acts=stage1_acts,
+        rs_in=rs_in, rs_out=rs_out,
         # next step's window is this one shifted by Fc: cache frames
         # [Fc, Fn-1) (the window-edge frame Fn-1 has a provisional median
         # and is re-analyzed next step); the median neighbor raw is frame
@@ -158,8 +199,8 @@ streaming_step = functools.partial(
     donate_argnames=("carry",))(streaming_step_impl)
 
 
-def init_stream(cfg: Config, use_sr: bool = True,
+def init_stream(params: dict, cfg: Config, use_sr: bool = True,
                 use_neural_vocoder: bool = False
                 ) -> tuple[StreamCarry, StreamGeometry]:
     geo = StreamGeometry.from_config(cfg, use_sr, use_neural_vocoder)
-    return StreamCarry.init(cfg, geo), geo
+    return StreamCarry.init(cfg, geo, params), geo

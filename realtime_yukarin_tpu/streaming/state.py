@@ -34,21 +34,51 @@ import functools
 import flax.struct
 import jax.numpy as jnp
 
-from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.config import Config, DspConfig
 from realtime_yukarin_tpu.dsp import primitives as prim
+from realtime_yukarin_tpu.dsp import resample
 from realtime_yukarin_tpu.dsp.synthesis import SynthCarry
+
+
+def input_plan(dsp: DspConfig, chunk_samples: int) -> resample.ResamplePlan:
+    """Client-rate -> internal-rate plan for one streaming chunk.  The
+    delay is hop-aligned so the resampled stream sits on the analysis
+    frame grid (streamed == offline stays exact)."""
+    if dsp.in_rate == dsp.sample_rate:
+        return resample.make_plan(dsp.sample_rate, dsp.sample_rate,
+                                  chunk_samples)
+    ci = chunk_samples * dsp.in_rate
+    if ci % dsp.sample_rate:
+        raise ValueError(
+            f"chunk of {chunk_samples} samples @{dsp.sample_rate} is not a "
+            f"whole number of samples @{dsp.in_rate}; pick chunk_ms "
+            f"divisible by both rates")
+    return resample.make_plan(dsp.in_rate, dsp.sample_rate,
+                              ci // dsp.sample_rate,
+                              align_delay_to=dsp.hop)
+
+
+def output_plan(dsp: DspConfig, chunk_samples: int) -> resample.ResamplePlan:
+    """Internal-rate -> client-rate plan for one streaming chunk."""
+    plan = resample.make_plan(dsp.sample_rate, dsp.out_rate, chunk_samples)
+    return plan
 
 
 @dataclasses.dataclass(frozen=True)
 class StreamGeometry:
     chunk_frames: int
-    chunk_samples: int
+    chunk_samples: int       # internal-rate samples per chunk
+    chunk_in_samples: int    # client-rate samples consumed per chunk
+    chunk_out_samples: int   # client-rate samples emitted per chunk
     model_ctx: int
     analysis_half: int
     delay_frames: int
     analysis_frames: int
     buf_samples: int
     buf_frame0_offset: int   # sample offset of analysis frame 0's center
+    in_delay: int            # input-resampler delay (internal samples)
+    out_delay: int           # output-resampler delay (output-rate samples)
+    stage1_ctx: int          # stage-1 one-sided receptive field (frames)
 
     @classmethod
     def from_config(cls, cfg: Config, use_sr: bool = True,
@@ -66,18 +96,43 @@ class StreamGeometry:
         D = mctx + ah_frames
         Fn = Fc + 2 * mctx + 1
         L_buf = (Fc + 2 * mctx + ah_frames) * hop + AH
-        return cls(chunk_frames=Fc, chunk_samples=Fc * hop, model_ctx=mctx,
+        p_in = input_plan(dsp, Fc * hop)
+        p_out = output_plan(dsp, Fc * hop)
+        return cls(chunk_frames=Fc, chunk_samples=Fc * hop,
+                   chunk_in_samples=p_in.chunk_in,
+                   chunk_out_samples=p_out.chunk_out, model_ctx=mctx,
                    analysis_half=AH, delay_frames=D, analysis_frames=Fn,
-                   buf_samples=L_buf, buf_frame0_offset=AH)
+                   buf_samples=L_buf, buf_frame0_offset=AH,
+                   in_delay=p_in.delay_out, out_delay=p_out.delay_out,
+                   stage1_ctx=cfg.acoustic.context_frames)
 
     def latency_samples(self, hop: int) -> int:
-        return self.delay_frames * hop
+        """Algorithmic latency in INTERNAL-rate samples (pipeline + the
+        frame-aligned input-resampler delay)."""
+        return self.delay_frames * hop + self.in_delay
+
+    def latency_out_samples(self, dsp: DspConfig) -> int:
+        """End-to-end latency in OUTPUT-rate samples: input-resampler +
+        pipeline delay scaled to the output rate, plus the output
+        resampler's own delay."""
+        internal = self.delay_frames * dsp.hop + self.in_delay
+        return (internal * dsp.out_rate // dsp.sample_rate
+                + self.out_delay)
 
     @property
     def cache_frames(self) -> int:
         """Leading analysis frames reused from the previous step (their
         windows and medians were already final then): Fn - Fc - 1."""
         return self.analysis_frames - self.chunk_frames - 1
+
+    @property
+    def stage1_cache_frames(self) -> int:
+        """Stage-1 OUTPUT frames carried across steps.  Per step the
+        pipeline needs converted mc on window frames [c1+1, Fn-c1-1)
+        (c1 = stage-1 context): the SR/vocoder ranges plus their halos.
+        Only the trailing Fc of those are newly computable (inputs final up
+        to frame Fn-2); the leading 2*(mctx-c1-1)+1 come from this cache."""
+        return 2 * (self.model_ctx - self.stage1_ctx - 1) + 1
 
     @property
     def fresh_frames(self) -> int:
@@ -104,11 +159,22 @@ class StreamCarry(flax.struct.PyTreeNode):
     mc_cache: jnp.ndarray      # [C, M+1] mel-cepstra of cached frames
     ap_cache: jnp.ndarray      # [C, B] band aperiodicity of cached frames
     f0_raw_prev: jnp.ndarray   # [] raw F0 of the last cached frame
+    mc_c_cache: jnp.ndarray    # [Cs, M+1] stage-1 OUTPUTS carried over
+    stage1_acts: tuple         # per-block [k-1, hidden] activation tails
+    rs_in: jnp.ndarray | None = None   # input-resampler history (client rate)
+    rs_out: jnp.ndarray | None = None  # output-resampler history (internal)
 
     @classmethod
-    def init(cls, cfg: Config, geo: StreamGeometry, dtype=jnp.float32
-             ) -> "StreamCarry":
+    def init(cls, cfg: Config, geo: StreamGeometry, params: dict,
+             dtype=jnp.float32) -> "StreamCarry":
+        from realtime_yukarin_tpu.models.acoustic import stage1_cache_init
+        from realtime_yukarin_tpu.models.voice_changer import compute_dtype
+
         f0_sil, mc_sil, ap_sil = _silence_features(cfg, geo, jnp.dtype(dtype))
+        acts, res_row = stage1_cache_init(
+            params["stage1"], jnp.asarray(mc_sil[0], dtype),
+            jnp.asarray(f0_sil[0], dtype), cfg.acoustic, compute_dtype(cfg))
+        mc_c_row = jnp.asarray(mc_sil[0], dtype) + res_row
         return cls(
             wave_buf=jnp.zeros((geo.buf_samples,), dtype),
             synth=SynthCarry.zeros(cfg.dsp, dtype),
@@ -117,6 +183,13 @@ class StreamCarry(flax.struct.PyTreeNode):
             mc_cache=jnp.asarray(mc_sil, dtype),
             ap_cache=jnp.asarray(ap_sil, dtype),
             f0_raw_prev=jnp.zeros((), dtype),
+            mc_c_cache=jnp.tile(mc_c_row[None],
+                                (geo.stage1_cache_frames, 1)),
+            stage1_acts=acts,
+            rs_in=resample.init_carry(
+                input_plan(cfg.dsp, geo.chunk_samples), dtype),
+            rs_out=resample.init_carry(
+                output_plan(cfg.dsp, geo.chunk_samples), dtype),
         )
 
 

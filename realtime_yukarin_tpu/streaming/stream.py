@@ -35,29 +35,37 @@ class VoiceChangerStream:
         self._use_sr = use_sr
         self._use_nn = use_neural_vocoder
         self._key = key if key is not None else jax.random.key(seed)
-        self._carry, self._geo = init_stream(cfg, use_sr, use_neural_vocoder)
+        self._carry, self._geo = init_stream(params, cfg, use_sr,
+                                             use_neural_vocoder)
         self._in = SegmentBuffer()
         self._in_pos = 0          # next input sample to consume
         self._written = 0         # total input samples added
 
     @property
     def chunk_samples(self) -> int:
-        return self._geo.chunk_samples
+        """Input chunk size (samples at cfg.dsp.in_rate)."""
+        return self._geo.chunk_in_samples
+
+    @property
+    def chunk_out_samples(self) -> int:
+        """Output chunk size (samples at cfg.dsp.out_rate)."""
+        return self._geo.chunk_out_samples
 
     @property
     def latency_samples(self) -> int:
-        return self._geo.latency_samples(self._cfg.dsp.hop)
+        """End-to-end delay in OUTPUT-rate samples."""
+        return self._geo.latency_out_samples(self._cfg.dsp)
 
     def add(self, samples: np.ndarray) -> None:
-        """Append input PCM (any length)."""
+        """Append input PCM at in_rate (any length)."""
         self._in.add(self._written, np.asarray(samples, np.float32))
         self._written += len(samples)
 
     def process(self) -> np.ndarray:
-        """Consume every complete chunk available; return converted PCM
-        (possibly empty).  Output sample t corresponds to input sample
-        t - latency_samples."""
-        S = self._geo.chunk_samples
+        """Consume every complete chunk available; return converted PCM at
+        out_rate (possibly empty).  Output sample t corresponds to input
+        sample (t - latency_samples) rescaled between the rates."""
+        S = self._geo.chunk_in_samples
         out = []
         while self._in_pos + S <= self._written:
             chunk = self._in.fetch(self._in_pos, S)
@@ -73,8 +81,7 @@ class VoiceChangerStream:
 
     def flush(self) -> np.ndarray:
         """Feed zeros to drain the algorithmic latency."""
-        pad = self.latency_samples
-        S = self._geo.chunk_samples
-        n_chunks = -(-pad // S)
-        self.add(np.zeros(n_chunks * S, np.float32))
+        So = self._geo.chunk_out_samples
+        n_chunks = -(-self.latency_samples // So)
+        self.add(np.zeros(n_chunks * self._geo.chunk_in_samples, np.float32))
         return self.process()

@@ -226,3 +226,45 @@ def test_convert_window_matches_full_convert():
         b = np.asarray(getattr(sliced, name))
         np.testing.assert_allclose(a, b, rtol=0, atol=0,
                                    err_msg=f"field {name}")
+
+
+def test_stage1_streamed_bit_exact():
+    """Per-layer streaming conv caches (convert_mc_streamed) must equal
+    the full-window stage-1 forward EXACTLY on the interior — the carry
+    design of streaming/pipeline.py step 3 (VERDICT r1 weak #1)."""
+    from realtime_yukarin_tpu.models.acoustic import (convert_mc_streamed,
+                                                      stage1_cache_init)
+    from realtime_yukarin_tpu.models.voice_changer import compute_dtype
+    from test_parallel import tiny_config
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    # non-identity net: randomize the zero-init head
+    head = params["stage1"]["params"]["head"]
+    head["kernel"] = 0.1 * jax.random.normal(jax.random.key(1),
+                                             head["kernel"].shape)
+    dtype = compute_dtype(cfg)
+    c1 = cfg.acoustic.context_frames
+    rng = np.random.default_rng(0)
+    T, Fc = 48, 8
+    mc = jnp.asarray(rng.normal(0, 1, (T, cfg.dsp.mc_dim)), jnp.float32)
+    f0 = jnp.asarray(np.where(rng.uniform(size=T) > 0.3,
+                              150 + 10 * rng.standard_normal(T), 0.0),
+                     jnp.float32)
+
+    from realtime_yukarin_tpu.models.acoustic import convert_mc
+    full = convert_mc(params["stage1"], mc, f0, cfg.acoustic, cfg.dsp, dtype)
+
+    caches, _ = stage1_cache_init(params["stage1"],
+                                  jnp.zeros((cfg.dsp.mc_dim,)),
+                                  jnp.zeros(()), cfg.acoustic, dtype)
+    outs = []
+    for k in range(T // Fc):
+        res, caches = convert_mc_streamed(
+            params["stage1"], mc[k * Fc: (k + 1) * Fc],
+            f0[k * Fc: (k + 1) * Fc], caches, cfg.acoustic, dtype)
+        outs.append(res)
+    res_all = jnp.concatenate(outs)       # res_all[m] is frame m - c1
+    streamed = mc[c1: T - c1] + res_all[2 * c1: T]
+    np.testing.assert_array_equal(np.asarray(streamed),
+                                  np.asarray(full[c1: T - c1]))

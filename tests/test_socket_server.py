@@ -147,3 +147,26 @@ def test_realtime_mode_underrun_contract(tmp_path):
         assert len(y) >= len(x) // S * S
         assert np.isfinite(y).all()
         assert srv.metrics.counters.get("tick_underruns", 0) > 0
+
+
+def test_cross_rate_socket_roundtrip():
+    """A 16 kHz client served at 24 kHz out: the wire carries in_rate PCM
+    inbound and out_rate PCM outbound (resampling on-device)."""
+    import dataclasses
+
+    base = tiny_config()
+    cfg = dataclasses.replace(
+        base, dsp=dataclasses.replace(base.dsp, input_rate=16000))
+    params = init_params(jax.random.key(0), cfg)
+    with SocketVoiceServer(params, cfg, num_streams=8,
+                           realtime_factor=0.0) as srv:
+        assert srv.chunk_samples == 1600          # 100 ms @ 16 kHz
+        assert srv.chunk_out_samples == 2400      # 100 ms @ 24 kHz
+        x = make_test_signal("harmonic", 0.5, 16000).astype(np.float32)
+        y = convert_over_socket(*srv.address, x)
+        # whole output chunks covering the input duration (tail padded)
+        n_in_chunks = len(x) // srv.chunk_samples
+        assert len(y) >= n_in_chunks * srv.chunk_out_samples
+        assert len(y) % srv.chunk_out_samples == 0
+        assert np.isfinite(y).all()
+        assert float(np.abs(y).max()) > 1e-4, "silent output"

@@ -83,7 +83,7 @@ def test_streamed_equals_offline_neural_vocoder(params, cfg):
 
 
 def test_streaming_step_donation_and_shapes(params, cfg):
-    carry, geo = init_stream(cfg)
+    carry, geo = init_stream(params, cfg)
     chunk = jnp.zeros(geo.chunk_samples, jnp.float32)
     out, carry2 = streaming_step(params, carry, chunk, jax.random.key(0),
                                  cfg)
