@@ -48,6 +48,12 @@ class DspConfig:
     f0_window: int = 640                  # correlation integration window W
     cmnd_threshold: float = 0.14          # first-dip acceptance threshold
     voicing_threshold: float = 0.30       # min CMND above this => unvoiced
+    # Octave-down verification (the role of Dio/Harvest multi-candidate
+    # voting, upstream:mmorise/World src/dio.cpp): a weak fundamental under
+    # a strong even-harmonic stack puts the first CMND dip at HALF the true
+    # period; if the dip near lag 2*tau is deeper by this margin, descend.
+    # Frame-local by construction, so streaming stays bit-exact.
+    octave_margin: float = 0.015
     # --- envelope (CheapTrick-equivalent: fixed window + f0-adaptive lifter)
     # relative floor: per-frame power is clamped to peak * 10^(db/10).
     # Keeping the log dynamic range modest makes the envelope robust to

@@ -8,7 +8,8 @@ array math (SURVEY.md §7 hard part (a)):
     via FFT cross-correlation + running energies (Wiener-Khinchin style),
   * the "first dip below threshold" search becomes a masked argmax,
   * parabolic refinement plays StoneMask's role,
-  * a 3-tap median filter replaces Dio's multi-candidate voting.
+  * a masked octave-down verification (deeper dip near lag 2*tau wins)
+    plus a 3-tap median filter replace Dio's multi-candidate voting.
 
 Semantics match ``golden.reference.estimate_f0`` allclose.
 """
@@ -128,8 +129,27 @@ def estimate_f0_raw(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     dp_tau = jnp.sum(jnp.where(cols[None, :] == tau_rel[:, None], r, 0.0),
                      axis=1)
 
-    # parabolic refinement (only strictly inside the search range)
+    # octave-down verification (Dio/Harvest candidate-voting role,
+    # upstream:mmorise/World src/dio.cpp): a weak fundamental under a
+    # strong even-harmonic stack puts the first dip at HALF the true
+    # period; if the dip near lag 2*tau is deeper by octave_margin,
+    # descend.  Two fixed iterations = up to two octaves; masked
+    # reductions keep it one shape per frame (frame-local, so the
+    # streaming raw-F0 cache semantics are unchanged).
     cols_full = jnp.arange(dp.shape[1])
+    for _ in range(2):
+        m2 = ((cols_full[None, :] >= 2 * tau[:, None] - 2)
+              & (cols_full[None, :] <= 2 * tau[:, None] + 2)
+              & (cols_full[None, :] >= lmin)
+              & (cols_full[None, :] <= lmax))
+        dp2_masked = jnp.where(m2, dp, jnp.inf)
+        dp_t2 = jnp.min(dp2_masked, axis=1)
+        t2 = jnp.argmin(dp2_masked, axis=1)
+        better = (2 * tau <= lmax) & (dp_t2 + cfg.octave_margin < dp_tau)
+        tau = jnp.where(better, t2, tau)
+        dp_tau = jnp.where(better, dp_t2, dp_tau)
+
+    # parabolic refinement (only strictly inside the search range)
     tm1 = jnp.sum(jnp.where(
         cols_full[None, :] == jnp.maximum(tau - 1, 0)[:, None], dp, 0.0),
         axis=1)

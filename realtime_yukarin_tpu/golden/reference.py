@@ -79,6 +79,19 @@ def estimate_f0(x: np.ndarray, num_frames: int, cfg: DspConfig) -> np.ndarray:
                 break
         if tau < 0:
             tau = lmin + int(np.argmin(dprime[lmin:lmax + 1]))
+        # octave-down verification (Dio/Harvest candidate-voting role): the
+        # first dip of a weak-fundamental / strong-2nd-harmonic frame sits
+        # at half the true period; a markedly deeper dip near 2*tau wins.
+        for _ in range(2):              # fixed 2 steps = JAX impl's shape
+            if 2 * tau > lmax:
+                break
+            lo = max(2 * tau - 2, lmin)
+            hi = min(2 * tau + 2, lmax)
+            t2 = lo + int(np.argmin(dprime[lo:hi + 1]))
+            if dprime[t2] + cfg.octave_margin < dprime[tau]:
+                tau = t2
+            else:
+                break
         if dprime[tau] >= cfg.voicing_threshold:
             continue
         # parabolic refinement

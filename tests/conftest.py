@@ -55,6 +55,14 @@ def make_test_signal(kind: str, seconds: float, fs: int,
                 + 0.02 * rng.standard_normal(len(t)))
     if kind == "noise":
         return 0.3 * rng.standard_normal(len(t))
+    if kind == "weakfund":
+        # adversarial octave trap (VERDICT r1 #5): weak fundamental under
+        # a dominant 2nd harmonic — naive first-dip YIN locks onto 290 Hz
+        f0 = 145.0
+        return (0.06 * np.sin(2 * np.pi * f0 * t)
+                + 0.5 * np.sin(2 * np.pi * 2 * f0 * t)
+                + 0.03 * np.sin(2 * np.pi * 3 * f0 * t)
+                + 0.01 * rng.standard_normal(len(t)))
     if kind == "speechlike":
         # voiced/unvoiced alternation with AM
         f0 = 120 + 60 * np.sin(2 * np.pi * 1.5 * t)
