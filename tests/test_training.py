@@ -243,6 +243,87 @@ def test_f0_metrics():
     assert float(m["vuv_error"]) == pytest.approx(0.25)
 
 
+def test_trained_model_beats_identity_on_heldout(tmp_path):
+    """Trained-quality gate (VERDICT r1 #4): a briefly trained model must
+    convert a HELD-OUT utterance better than the identity-init baseline —
+    loss-decreases alone would not catch a sign error in a loss term or a
+    misaligned target.  Also gates the corpus-derived F0 statistics
+    transform against the no-transform baseline."""
+    from realtime_yukarin_tpu.models.acoustic import convert_mc
+    from realtime_yukarin_tpu.models.f0_stats import F0Statistics
+    from realtime_yukarin_tpu.models.voice_changer import convert_f0_stats
+    from realtime_yukarin_tpu.training.train_step import make_optimizer
+
+    cfg = tiny_config()
+    fs = cfg.dsp.sample_rate
+    dirs = {n: tmp_path / n for n in
+            ("src", "tgt", "ev_src", "ev_tgt", "prep_tr", "prep_ev")}
+    for d in dirs.values():
+        d.mkdir()
+    rng = np.random.default_rng(3)
+    # source speaker: 140 Hz, bright tilt; target: 200 Hz, darker tilt —
+    # a consistent, learnable mapping (training/data.py conventions)
+    for k in range(6):
+        write_wav(str(dirs["src"] / f"utt{k}.wav"),
+                  synth_utterance(rng, 0.6, fs, 140.0, 0.1), fs)
+        write_wav(str(dirs["tgt"] / f"utt{k}.wav"),
+                  synth_utterance(rng, 0.66, fs, 200.0, 0.3), fs)
+    write_wav(str(dirs["ev_src"] / "ho.wav"),
+              synth_utterance(rng, 0.6, fs, 140.0, 0.1), fs)
+    write_wav(str(dirs["ev_tgt"] / "ho.wav"),
+              synth_utterance(rng, 0.66, fs, 200.0, 0.3), fs)
+    prepare_corpus(str(dirs["src"]), str(dirs["tgt"]), str(dirs["prep_tr"]),
+                   cfg, bucket_frames=32, verbose=False)
+    prepare_corpus(str(dirs["ev_src"]), str(dirs["ev_tgt"]),
+                   str(dirs["prep_ev"]), cfg, bucket_frames=32,
+                   verbose=False)
+
+    ho = dict(np.load(dirs["prep_ev"] / "ho.npz"))
+
+    def heldout_mcd(p) -> float:
+        mc_pred = convert_mc(p["stage1"], jnp.asarray(ho["mc_src"]),
+                             jnp.asarray(ho["f0_src"]), cfg.acoustic,
+                             cfg.dsp)
+        return float(evaluate.mcd_db(mc_pred, jnp.asarray(ho["mc_tgt"])))
+
+    params = init_params(jax.random.key(0), cfg)
+    base_mcd = heldout_mcd(params)      # identity-init: mc passes through
+
+    opt = make_optimizer(3e-4)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(cfg, opt))
+    ds = CorpusDataset(str(dirs["prep_tr"]), cfg, crop_frames=16, seed=0)
+    for _ in range(300):
+        state, metrics = step(state, ds.sample_batch(8))
+    trained_mcd = heldout_mcd(state.params)
+    # measured ~2.5 dB improvement (13.4 -> 10.8); gate at a 1.0 dB margin
+    assert trained_mcd < base_mcd - 1.0, (
+        f"held-out MCD did not improve: init {base_mcd:.2f} dB -> "
+        f"trained {trained_mcd:.2f} dB")
+
+    # F0 moment-matching transform from corpus statistics must improve
+    # log-F0 RMSE vs passing source F0 through untransformed.  (Halving is
+    # NOT achievable: the two speakers carry independent random vibrato,
+    # so DTW-aligned frames keep an irreducible ~0.15 log-F0 floor that no
+    # moment transform can remove.)
+    si = F0Statistics.load(dirs["prep_tr"] / "stats_input.npz")
+    st = F0Statistics.load(dirs["prep_tr"] / "stats_target.npz")
+    stats = {"src_mean": si.mean, "src_std": si.std,
+             "tgt_mean": st.mean, "tgt_std": st.std}
+    f0_conv = convert_f0_stats(jnp.asarray(ho["f0_src"]), stats)
+    tgt = jnp.asarray(ho["f0_tgt"])
+    rmse_conv = float(evaluate.f0_metrics(f0_conv, tgt)["logf0_rmse"])
+    rmse_ident = float(evaluate.f0_metrics(
+        jnp.asarray(ho["f0_src"]), tgt)["logf0_rmse"])
+    assert rmse_conv < rmse_ident - 0.05, (
+        f"F0 transform rmse {rmse_conv:.3f} vs identity {rmse_ident:.3f}")
+    # and the converted register must land on the target speaker's mean
+    conv = np.asarray(f0_conv)
+    mean_conv = float(np.log(conv[conv > 0]).mean())
+    assert abs(mean_conv - float(st.mean)) < 0.08, (
+        f"converted mean log-F0 {mean_conv:.3f} vs target {float(st.mean):.3f}")
+
+
 def test_sharded_gan_step_on_mesh():
     """--gan trains through the same dp x tp mesh as the plain objective
     (it previously bypassed collectives and would diverge per host)."""
