@@ -131,10 +131,15 @@ def test_envelope_matches_golden(dsp_cfg, kind):
     j = np.asarray(spectral_envelope(jnp.asarray(x, jnp.float32),
                                      jnp.asarray(f0, jnp.float32), F,
                                      dsp_cfg))
-    # compare in log domain (power spans many orders of magnitude);
-    # tolerance covers the bf16_3x DFT matmuls near the -70 dB floor
+    # Compare in log domain (power spans many orders of magnitude).
+    # Bound derivation: the device DFT runs as bf16_3x matmuls
+    # (ops/dft.py); each bf16 factor carries 2^-8 ~ 0.4% relative error
+    # and the 3x split recovers most of it, but power bins near the
+    # -70 dB envelope floor lose ~6% relative accuracy to cancellation —
+    # log-domain abs error ~= relative error, measured max 0.063 across
+    # all three signal classes (0.27 dB).  0.08 = measured + ~25% head.
     np.testing.assert_allclose(np.log(j + 1e-12), np.log(g + 1e-12),
-                               rtol=0, atol=1e-1)
+                               rtol=0, atol=8e-2)
 
 
 @pytest.mark.parametrize("kind", ["harmonic", "sweep", "speechlike"])
