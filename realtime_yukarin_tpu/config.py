@@ -46,6 +46,12 @@ class DspConfig:
     f0_ceil: float = 800.0
     # --- F0 estimator (YIN/CMND reformulation of DIO; SURVEY.md §7 hard (a))
     f0_window: int = 640                  # correlation integration window W
+    # The period search runs on a decimated grid (WORLD's Dio low-passes +
+    # downsamples before candidate search): 24 kHz -> 8 kHz cuts the
+    # difference-function matmul FLOPs ~4x at <2-cent accuracy cost
+    # (parabolic refinement is sub-sample on the coarse grid too).
+    # 1 = full-rate search (the pre-decimation behavior).
+    f0_decimation: int = 3
     cmnd_threshold: float = 0.14          # first-dip acceptance threshold
     voicing_threshold: float = 0.30       # min CMND above this => unvoiced
     # Octave-down verification (the role of Dio/Harvest multi-candidate
@@ -96,10 +102,42 @@ class DspConfig:
     def num_lags(self) -> int:
         return self.lag_max - self.lag_min + 1
 
+    # --- decimated F0 search grid (dsp/f0.py; lag_min/lag_max above stay
+    # full-rate — the aperiodicity stage autocorrelates at full rate)
+    @property
+    def f0_fs_d(self) -> int:
+        assert self.sample_rate % self.f0_decimation == 0, (
+            self.sample_rate, self.f0_decimation)
+        return self.sample_rate // self.f0_decimation
+
+    @property
+    def f0_window_d(self) -> int:
+        return self.f0_window // self.f0_decimation
+
+    @property
+    def lag_min_d(self) -> int:
+        return max(2, int(math.floor(self.f0_fs_d / self.f0_ceil)))
+
+    @property
+    def lag_max_d(self) -> int:
+        return int(math.ceil(self.f0_fs_d / self.f0_floor))
+
+    @property
+    def f0_frame_len_d(self) -> int:
+        """Decimated analysis slice per F0 frame: window + max lag."""
+        return self.f0_window_d + self.lag_max_d
+
+    @property
+    def f0_aa_half(self) -> int:
+        """Anti-alias FIR half-width in full-rate samples (0 = no filter)."""
+        return 0 if self.f0_decimation == 1 else 6 * self.f0_decimation
+
     @property
     def f0_frame_len(self) -> int:
-        """Analysis slice per F0 frame: window + max lag."""
-        return self.f0_window + self.lag_max
+        """Full-rate analysis slice per F0 frame: the decimated slice plus
+        the anti-alias filter support (drives the streaming halo)."""
+        return (self.f0_decimation * self.f0_frame_len_d
+                + 2 * self.f0_aa_half)
 
     @property
     def mc_dim(self) -> int:

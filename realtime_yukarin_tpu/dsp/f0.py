@@ -27,11 +27,19 @@ from realtime_yukarin_tpu.dsp.framing import extract_centered_frames, median3
 from realtime_yukarin_tpu.ops import dft
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
+@functools.lru_cache(maxsize=None)
+def _decim_matrix(decim: int, half_width: int, out_len: int):
+    """[decim*out_len + 2*half_width, out_len] banded anti-alias + downsample
+    map (Dio's low-pass + decimate role as ONE MXU matmul per frame —
+    per-frame application keeps streamed == offline structurally exact,
+    since the map sees only the frame, never the buffer alignment)."""
+    import numpy as np
+    h = prim.f0_decim_filter(decim, half_width)
+    FL = decim * out_len + 2 * half_width
+    D = np.zeros((FL, out_len), np.float64)
+    for m in range(out_len):
+        D[m * decim: m * decim + 2 * half_width + 1, m] = h
+    return D
 
 
 @functools.lru_cache(maxsize=None)
@@ -59,15 +67,14 @@ def difference_function(frames: jnp.ndarray, window: int, lag_max: int
     frames: [F, frame_len] with frame_len >= window + lag_max.
     Uses  d(l) = e0 + e(l) - 2 c(l)  with c as a DFT-matmul
     cross-correlation (ops.dft — no XLA TPU FFT on the hot path).
+    The DFT size is frame_len EXACTLY (a matmul DFT needs no pow2):
+    n + l <= window-1 + lag_max < frame_len already makes the circular
+    correlation linear — a[n] is zero wherever the wrap would land.
     """
     F, FL = frames.shape
-    # n + l <= window-1 + lag_max < frame_len, so padding to the next pow2
-    # of frame_len already makes the circular correlation linear.
-    P2 = _next_pow2(FL)
-    a = jnp.zeros((F, P2), frames.dtype).at[:, :window].set(
+    a = jnp.zeros((F, FL), frames.dtype).at[:, :window].set(
         frames[:, :window])
-    b = jnp.zeros((F, P2), frames.dtype).at[:, :FL].set(frames)
-    c = dft.cross_correlation(a, b, P2, lag_max + 1)          # [F, L+1]
+    c = dft.cross_correlation(a, frames, FL, lag_max + 1)     # [F, L+1]
     Wb = jnp.asarray(_running_energy_matrix(FL, window, lag_max),
                      frames.dtype)
     e = jnp.matmul(frames * frames, Wb,
@@ -101,11 +108,17 @@ def estimate_f0_raw(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     the analysis window placement.  The streaming layer caches raw values
     across chunks and applies the 3-tap median itself (the median couples
     neighboring frames, so it must see the cached neighbor)."""
-    hop, W = cfg.hop, cfg.f0_window
-    lmin, lmax = cfg.lag_min, cfg.lag_max
-    fs = float(cfg.sample_rate)
+    hop, W = cfg.hop, cfg.f0_window_d
+    lmin, lmax = cfg.lag_min_d, cfg.lag_max_d
+    fs = float(cfg.f0_fs_d)
     frames = extract_centered_frames(x, num_frames, hop, cfg.f0_frame_len,
                                      center_offset)
+    # anti-alias + decimate (Dio's low-pass + downsample): one banded MXU
+    # matmul per frame; the period search then runs on the coarse grid
+    if cfg.f0_decimation > 1:
+        D = jnp.asarray(_decim_matrix(cfg.f0_decimation, cfg.f0_aa_half,
+                                      cfg.f0_frame_len_d), frames.dtype)
+        frames = jnp.matmul(frames, D, precision=jax.lax.Precision.HIGH)
 
     d = difference_function(frames, W, lmax)
     dp = cmnd(d)                                             # [F, lmax+1]

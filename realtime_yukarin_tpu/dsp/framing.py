@@ -63,11 +63,15 @@ def lerp_rows(values: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     TPU note: the obvious ``take_along_axis`` lowers to a lane-axis
     gather, which Mosaic serializes (~12 ms/step for the synthesis
     controls at 128 streams — the single hottest op in the pipeline).
-    Instead the element selection is two one-hot 0/1-weight matmuls on
-    the MXU at HIGHEST precision — bit-exact w.r.t. the gather (each
-    output row sums exactly one f32 value) and an order of magnitude
-    faster.  The ``hi`` neighbor one-hot is empty where ``lo == K-1``;
-    there ``t == 0`` so the term vanishes, matching the clamped gather.
+    Element selection is instead one-hot 0/1-weight matmuls on the MXU at
+    HIGHEST precision — bit-exact w.r.t. the gather (each output row sums
+    exactly one f32 value plus exact zeros).  For K >= 32 the one-hot is
+    two-level (groups of G=8, then an in-group pick): building the dense
+    [F, H, K] one-hot was itself the hottest VPU work at 512 streams
+    (~740M elements); the grouped form builds ~K/G + G instead of 2K
+    weights per (f, h) and measured 2.7x faster end-to-end, still
+    value-identical.  The ``hi`` neighbor weight is empty where
+    ``lo == K-1``; there ``t == 0``, matching the clamped gather.
     """
     K = values.shape[1]
     squeeze = values.ndim == 2
@@ -75,13 +79,47 @@ def lerp_rows(values: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     pos = jnp.clip(pos, 0.0, K - 1.0)
     lo = jnp.floor(pos)
     t = (pos - lo).astype(V.dtype)
-    k = jnp.arange(K, dtype=pos.dtype)
-    dl = k[None, None, :] - lo[:, :, None]                   # [F, H, K]
     hi_p = jax.lax.Precision.HIGHEST
-    Wlo = (dl == 0).astype(V.dtype)
-    Whi = (dl == 1).astype(V.dtype)
-    vlo = jnp.einsum("fhk,fkc->fhc", Wlo, V, precision=hi_p)
-    vhi = jnp.einsum("fhk,fkc->fhc", Whi, V, precision=hi_p)
+
+    if K < 32:          # dense one-hot: grouping overhead not worth it
+        k = jnp.arange(K, dtype=pos.dtype)
+        dl = k[None, None, :] - lo[:, :, None]               # [F, H, K]
+        Wlo = (dl == 0).astype(V.dtype)
+        Whi = (dl == 1).astype(V.dtype)
+        vlo = jnp.einsum("fhk,fkc->fhc", Wlo, V, precision=hi_p)
+        vhi = jnp.einsum("fhk,fkc->fhc", Whi, V, precision=hi_p)
+        out = vlo * (1.0 - t)[:, :, None] + vhi * t[:, :, None]
+        return out[:, :, 0] if squeeze else out
+
+    # Two-level selection: the [F, H, K] one-hot construction dominated
+    # the synthesis-controls stage (~740M VPU elements at 512 streams).
+    # Level 1 one-hots over Q = ceil(K/G) groups of G bins (an MXU matmul
+    # picking each position's G+1-wide group); level 2 is a tiny [G+1]
+    # lerp-weight contraction.  ~(2K)/(K/G + G) ~ 14x less elementwise
+    # work, and the result sums the same two f32 products plus exact
+    # zeros — value-identical to the dense path.
+    F, C = V.shape[0], V.shape[2]
+    H = pos.shape[1]
+    G = 8
+    Qn = (K - 1) // G + 1                    # q = lo//G fits [0, Qn)
+    K_pad = G * (Qn - 1) + G + 1             # group q covers [G*q, G*q+G]
+    Vp = jnp.pad(V, ((0, 0), (0, K_pad - K), (0, 0)))
+    Vg = jnp.stack([jax.lax.slice_in_dim(Vp, g, g + G * (Qn - 1) + 1,
+                                         stride=G, axis=1)
+                    for g in range(G + 1)], axis=2)          # [F, Qn, G+1, C]
+    q_idx = jnp.floor(lo / G)                                # exact: G = 2^3
+    r = lo - G * q_idx                                       # in-group offset
+    qs = jnp.arange(Qn, dtype=pos.dtype)
+    Wq = (qs[None, None, :] == q_idx[:, :, None]).astype(V.dtype)
+    picked = jnp.einsum("fhq,fqm->fhm", Wq,
+                        Vg.reshape(F, Qn, (G + 1) * C),
+                        precision=hi_p).reshape(F, H, G + 1, C)
+    g_ar = jnp.arange(G + 1, dtype=pos.dtype)
+    dg = g_ar[None, None, :, None] - r[:, :, None, None]     # [F, H, G+1, 1]
+    # in-group picks as masked sums (one nonzero + exact zeros), then the
+    # same mul/add sequence as the dense path — value-identical to it
+    vlo = jnp.sum(jnp.where(dg == 0, picked, 0.0), axis=2)
+    vhi = jnp.sum(jnp.where(dg == 1, picked, 0.0), axis=2)
     out = vlo * (1.0 - t)[:, :, None] + vhi * t[:, :, None]
     return out[:, :, 0] if squeeze else out
 

@@ -46,6 +46,24 @@ def _cached(fn_name: str, key: tuple):
     raise KeyError  # placeholder, real caching via per-function lru_cache
 
 
+@functools.lru_cache(maxsize=None)
+def f0_decim_filter(decim: int, half_width: int, rolloff: float = 0.9,
+                    beta: float = 8.0) -> np.ndarray:
+    """Anti-alias FIR for the F0 stage's decimation (WORLD's Dio
+    low-passes + downsamples before period search, upstream:mmorise/World
+    src/dio.cpp role).  Kaiser-windowed sinc, cutoff rolloff*(fs/2/decim),
+    support [-half_width, half_width] full-rate samples, unit DC gain.
+    Shared verbatim by the golden and JAX estimators."""
+    if decim == 1:
+        return np.ones(1, np.float64)
+    k = np.arange(-half_width, half_width + 1, dtype=np.float64)
+    nu = rolloff / (2.0 * decim)          # cutoff / fs
+    h = 2.0 * nu * np.sinc(2.0 * nu * k)
+    h *= np.i0(beta * np.sqrt(np.maximum(
+        0.0, 1.0 - (k / half_width) ** 2))) / np.i0(beta)
+    return h / h.sum()
+
+
 # ---------------------------------------------------------------------------
 # Mel-cepstrum: warped cosine basis.
 #

@@ -47,15 +47,22 @@ def _median3(a: float, b: float, c: float) -> float:
 
 
 def estimate_f0(x: np.ndarray, num_frames: int, cfg: DspConfig) -> np.ndarray:
-    hop, W = cfg.hop, cfg.f0_window
-    lmin, lmax = cfg.lag_min, cfg.lag_max
-    FL = cfg.f0_frame_len
+    hop = cfg.hop
+    R, hw = cfg.f0_decimation, cfg.f0_aa_half
+    W = cfg.f0_window_d
+    lmin, lmax = cfg.lag_min_d, cfg.lag_max_d
+    FL, FLd = cfg.f0_frame_len, cfg.f0_frame_len_d
     frames = extract_centered_frames(x, num_frames, hop, FL)
-    fs = float(cfg.sample_rate)
+    fs = float(cfg.f0_fs_d)
+    h = prim.f0_decim_filter(R, hw)
 
     f0_raw = np.zeros(num_frames)
     for i in range(num_frames):
-        s = frames[i]
+        # anti-alias + decimate (Dio's low-pass + downsample role): the
+        # period search runs on the coarse grid; parabolic refinement is
+        # sub-sample there too, so precision stays within a few cents
+        s = np.array([np.dot(h, frames[i, m * R: m * R + 2 * hw + 1])
+                      for m in range(FLd)])
         # squared difference function d(l) for l in [0, lmax]
         d = np.zeros(lmax + 1)
         for l in range(lmax + 1):
