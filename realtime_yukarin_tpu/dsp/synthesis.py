@@ -156,15 +156,34 @@ def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
                      precision=jax.lax.Precision.HIGHEST)     # [F, hop]
     two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
 
-    def step(state, x):
-        phase, vprev = state
-        dphi_total, v_i = x
-        boundary = jnp.where(v_i & vprev, phase, 0.0)
-        nxt = jnp.mod(boundary + dphi_total, two_pi)
-        return (nxt, v_i), boundary
-
-    (phase_out, vprev_out), boundaries = jax.lax.scan(
-        step, (carry.phase, carry.voiced_prev), (cum[:, -1], voiced[:-1]))
+    # Frame-boundary phases WITHOUT a sequential scan (a 21-step scan of
+    # trivial bodies is pure latency on TPU).  The recurrence
+    #   boundary_i = phase_{i-1} if (v_i & v_{i-1}) else 0
+    # is a prefix sum with segment resets: with r_i = last reset <= i
+    # (a masked-max over the tiny [F, F] triangle) and csum the exclusive
+    # frame-increment prefix sum (triangular matmul),
+    #   boundary_i = base_i + csum[i] - csum[max(r_i, 0)],
+    # base_i = carry.phase when no reset has happened yet.  One mod at
+    # the end replaces the per-step mod (phase accumulates < ~550 rad
+    # per chunk; f32 residual error ~1e-4 rad, far below tolerances).
+    v = voiced[:-1]
+    vprev = jnp.concatenate([carry.voiced_prev[None], v[:-1]])
+    cont = v & vprev
+    idx = jnp.arange(F)
+    reset_at = jnp.where(~cont, idx, -1)
+    tri = idx[None, :] <= idx[:, None]
+    r = jnp.max(jnp.where(tri, reset_at[None, :], -1), axis=1)  # [F]
+    Mf = jnp.asarray(dft.prefix_sum_matrix(F), dtype)
+    csum_incl = jnp.matmul(cum[:, -1], Mf,
+                           precision=jax.lax.Precision.HIGHEST)
+    csum = jnp.concatenate([jnp.zeros((1,), dtype), csum_incl])  # [F+1]
+    base = jnp.where(r < 0, carry.phase.astype(dtype), 0.0)
+    cols = jnp.arange(F + 1)
+    csum_r = jnp.sum(jnp.where(cols[None, :] == jnp.maximum(r, 0)[:, None],
+                               csum[None, :], 0.0), axis=1)
+    boundaries = jnp.mod(base + csum[:F] - csum_r, two_pi)      # [F]
+    phase_out = jnp.mod(base[F - 1] + csum[F] - csum_r[F - 1], two_pi)
+    vprev_out = v[F - 1]
     phi = boundaries[:, None] + cum                            # [F, hop]
 
     if _use_pallas():
