@@ -103,9 +103,11 @@ def synthesis_controls(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
 
     wsumsq = prim.analysis_window_sumsq(N)
     Wn = jnp.asarray(prim.noise_spec_interp_matrix(N, hop), dtype)
-    hi = jax.lax.Precision.HIGHEST
-    e_noise = jnp.matmul(env[:F], Wn.T, precision=hi)         # [F, k_noise]
-    ap_noise = jnp.matmul(ap_full[:F], Wn.T, precision=hi)
+    # HIGH (bf16_3x): these shape noise magnitudes; ~1e-6 relative error
+    # is far below the noise branch's golden tolerance, at half the cost
+    hp = jax.lax.Precision.HIGH
+    e_noise = jnp.matmul(env[:F], Wn.T, precision=hp)         # [F, k_noise]
+    ap_noise = jnp.matmul(ap_full[:F], Wn.T, precision=hp)
     noise_mag = jnp.sqrt(jnp.maximum(e_noise * ap_noise ** 2, 0.0)
                          * n_noise / wsumsq)
     return amps, noise_mag, f0f, f0 > 0

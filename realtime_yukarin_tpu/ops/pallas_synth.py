@@ -62,7 +62,11 @@ def _harmonic_bank_impl(amps_l: jnp.ndarray, amps_r: jnp.ndarray,
     R, H = amps_l.shape
     hop = phi.shape[1]
     hop_pad = -(-hop // LANE) * LANE
-    R_pad = -(-R // SUBLANE) * SUBLANE
+    # One block per ~chunk of frames: the kernel is VPU-instruction-bound,
+    # but fewer grid invocations still shave ~10% (measured 1.59 -> 1.42 ms
+    # at 512 streams x 21 frames); 24 rows = 3 sublane tiles.
+    TF = SUBLANE if R <= 2 * SUBLANE else 3 * SUBLANE
+    R_pad = -(-R // TF) * TF
 
     def pad(x, rows, cols):
         return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
@@ -72,7 +76,6 @@ def _harmonic_bank_impl(amps_l: jnp.ndarray, amps_r: jnp.ndarray,
     phi_p = pad(phi, R_pad, hop_pad)
     frac_p = pad(frac, R_pad, hop_pad)
 
-    TF = SUBLANE
     grid = (R_pad // TF,)
     out = pl.pallas_call(
         _kernel,
