@@ -89,7 +89,7 @@ def bench_latency(params, cfg, iters: int) -> tuple[float, float]:
     """Single-stream per-chunk wall latency (p50, p99) in ms."""
     carry, geo = init_stream(params, cfg)
     chunk = jnp.asarray(np.random.default_rng(1).standard_normal(
-        geo.chunk_samples), jnp.float32)
+        geo.chunk_in_samples), jnp.float32)
     key = jax.random.key(0)
     for _ in range(3):
         out, carry = streaming_step(params, carry, chunk, key, Config())

@@ -67,14 +67,18 @@ def difference_function(frames: jnp.ndarray, window: int, lag_max: int
     frames: [F, frame_len] with frame_len >= window + lag_max.
     Uses  d(l) = e0 + e(l) - 2 c(l)  with c as a DFT-matmul
     cross-correlation (ops.dft — no XLA TPU FFT on the hot path).
-    The DFT size is frame_len EXACTLY (a matmul DFT needs no pow2):
-    n + l <= window-1 + lag_max < frame_len already makes the circular
-    correlation linear — a[n] is zero wherever the wrap would land.
+    The DFT size is frame_len rounded up to EVEN (a matmul DFT needs no
+    pow2, but ops.dft's rfft bases treat bin n//2 as a self-conjugate
+    Nyquist bin, which only holds for even n):  n-1 + l <= window-1 +
+    lag_max < frame_len already makes the circular correlation linear —
+    a[n] is zero wherever the wrap would land.
     """
     F, FL = frames.shape
-    a = jnp.zeros((F, FL), frames.dtype).at[:, :window].set(
+    n = FL + (FL & 1)                                        # even DFT size
+    a = jnp.zeros((F, n), frames.dtype).at[:, :window].set(
         frames[:, :window])
-    c = dft.cross_correlation(a, frames, FL, lag_max + 1)     # [F, L+1]
+    b = jnp.zeros((F, n), frames.dtype).at[:, :FL].set(frames)
+    c = dft.cross_correlation(a, b, n, lag_max + 1)           # [F, L+1]
     Wb = jnp.asarray(_running_energy_matrix(FL, window, lag_max),
                      frames.dtype)
     e = jnp.matmul(frames * frames, Wb,

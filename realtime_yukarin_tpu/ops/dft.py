@@ -32,6 +32,7 @@ DFT_PRECISION = jax.lax.Precision.HIGH
 @functools.lru_cache(maxsize=None)
 def rfft_bases(n: int) -> tuple[np.ndarray, np.ndarray]:
     """(cos [n, n//2+1], sin [n, n//2+1]): rfft_k = x@cos - j * x@sin."""
+    assert n % 2 == 0, f"DFT bases assume even n (Nyquist bin), got {n}"
     k = np.arange(n // 2 + 1)
     t = np.arange(n)
     ang = 2.0 * np.pi * np.outer(t, k) / n
@@ -123,6 +124,7 @@ def quefrency_filter(L: jnp.ndarray, lift_half: jnp.ndarray, n: int
 @functools.lru_cache(maxsize=None)
 def irfft_bases(n: int) -> tuple[np.ndarray, np.ndarray]:
     """(A [K, n], B [K, n]): irfft(X, n) = Re(X) @ A + Im(X) @ B."""
+    assert n % 2 == 0, f"DFT bases assume even n (Nyquist bin), got {n}"
     K = n // 2 + 1
     w = np.full(K, 2.0 / n)
     w[0] = w[-1] = 1.0 / n

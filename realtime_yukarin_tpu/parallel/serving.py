@@ -36,14 +36,6 @@ from realtime_yukarin_tpu.streaming.pipeline import streaming_step_impl
 from realtime_yukarin_tpu.streaming.state import StreamCarry, StreamGeometry
 
 
-def batched_carry_init(cfg: Config, geo: StreamGeometry, num_streams: int,
-                       params: dict) -> StreamCarry:
-    one = StreamCarry.init(cfg, geo, params)
-    return jax.tree.map(
-        lambda x: jnp.broadcast_to(x[None], (num_streams,) + x.shape).copy(),
-        one)
-
-
 def make_batched_step(cfg: Config, mesh: Mesh, use_sr: bool = True,
                       use_neural_vocoder: bool = False):
     """Build the pjit-compiled batched streaming step.
@@ -246,11 +238,14 @@ class BatchedServer:
 
     def reset_stream(self, i: int) -> None:
         """Eagerly re-zero slot i's carry (single-process convenience; at
-        N hosts pass a reset mask to step_local instead)."""
+        N hosts pass a reset mask to step_local instead).
+
+        Reuses the device-resident ``_init_carry`` computed at __init__ —
+        a per-connect rebuild would copy the whole params tree to host
+        and re-dispatch the silence-analysis init while the ticker is
+        blocked, stalling every connected client."""
         if jax.process_count() > 1:
             raise RuntimeError("multi-process run: pass reset masks to "
                                "step_local()")
-        one = StreamCarry.init(self._cfg, self._geo,
-                               jax.tree.map(np.asarray, self._params))
         self._carries = jax.tree.map(
-            lambda c, o: c.at[i].set(o), self._carries, one)
+            lambda c, o: c.at[i].set(o), self._carries, self._init_carry)

@@ -236,8 +236,10 @@ class SocketVoiceServer:
         except Exception as e:                         # noqa: BLE001
             # a dead ticker must not leave clients hanging silently:
             # stop accepting, release every stream, surface the error
+            import traceback
             self.metrics.incr("ticker_errors")
-            print(f"[socket_server] ticker died: {e!r}", flush=True)
+            print(f"[socket_server] ticker died: {e!r}\n"
+                  f"{traceback.format_exc()}", flush=True)
             self._stop.set()
             try:
                 self._sock.close()

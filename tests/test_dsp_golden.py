@@ -52,6 +52,24 @@ def test_f0_matches_golden(dsp_cfg, kind):
         assert np.percentile(err, 95) < 1.0, f"f0 err p95 {err.max()}"
 
 
+def test_f0_full_rate_escape_hatch(dsp_cfg):
+    """f0_decimation=1 (full-rate search) must match golden too: its ODD
+    f0_frame_len (979) previously violated the even-n assumption baked
+    into the DFT matmul bases (Nyquist-bin weighting), corrupting every
+    difference-function value."""
+    import dataclasses
+    cfg1 = dataclasses.replace(dsp_cfg, f0_decimation=1)
+    x = make_test_signal("sweep", 0.4, cfg1.sample_rate)
+    F = _frames(x, cfg1)
+    g = ref.estimate_f0(x, F, cfg1)
+    j = np.asarray(estimate_f0(jnp.asarray(x, jnp.float32), F, cfg1))
+    agree = ((g > 0) == (j > 0)).mean()
+    assert agree > 0.98, f"voicing agreement {agree}"
+    both = (g > 0) & (j > 0)
+    assert both.any()
+    assert np.percentile(np.abs(j[both] - g[both]), 95) < 1.0
+
+
 def _cents(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return 1200.0 * np.abs(np.log2(a / b))
 

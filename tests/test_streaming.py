@@ -84,10 +84,10 @@ def test_streamed_equals_offline_neural_vocoder(params, cfg):
 
 def test_streaming_step_donation_and_shapes(params, cfg):
     carry, geo = init_stream(params, cfg)
-    chunk = jnp.zeros(geo.chunk_samples, jnp.float32)
+    chunk = jnp.zeros(geo.chunk_in_samples, jnp.float32)
     out, carry2 = streaming_step(params, carry, chunk, jax.random.key(0),
                                  cfg)
-    assert out.shape == (geo.chunk_samples,)
+    assert out.shape == (geo.chunk_out_samples,)
     assert carry2.wave_buf.shape == (geo.buf_samples,)
     assert int(carry2.frame_pos) == -geo.delay_frames + geo.chunk_frames
 
