@@ -70,7 +70,7 @@ def bench_throughput(params, cfg, num_streams: int, steps: int,
         out = server.step_device(chunks)
     _ = np.asarray(out[0, :4])
     dt = time.perf_counter() - t0
-    audio_seconds = steps * num_streams * S / cfg.dsp.sample_rate
+    audio_seconds = steps * num_streams * S / cfg.dsp.in_rate   # S is @ in_rate
 
     util: dict = {}
     ca = server.step_cost_analysis()
@@ -92,12 +92,12 @@ def bench_latency(params, cfg, iters: int) -> tuple[float, float]:
         geo.chunk_in_samples), jnp.float32)
     key = jax.random.key(0)
     for _ in range(3):
-        out, carry = streaming_step(params, carry, chunk, key, Config())
+        out, carry = streaming_step(params, carry, chunk, key, cfg)
     _ = np.asarray(out[:2])
     lat = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out, carry = streaming_step(params, carry, chunk, key, Config())
+        out, carry = streaming_step(params, carry, chunk, key, cfg)
         _ = np.asarray(out[:2])     # host fetch = honest completion sync
         lat.append(1000 * (time.perf_counter() - t0))
     a = np.asarray(lat)

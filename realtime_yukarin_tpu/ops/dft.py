@@ -46,6 +46,7 @@ def cepstrum_basis(n: int) -> np.ndarray:
     c_q = (1/n) [L_0 + 2 sum_{0<k<n/2} L_k cos(2 pi k q / n) + L_{n/2} cos(pi q)]
     for q = 0..n/2 (the cepstrum of a symmetric spectrum is symmetric).
     """
+    assert n % 2 == 0, f"DFT bases assume even n (Nyquist bin), got {n}"
     K = n // 2 + 1
     w = np.full(K, 2.0)
     w[0] = w[-1] = 1.0
@@ -61,6 +62,7 @@ def cepstrum_inverse_basis(n: int) -> np.ndarray:
 
     L_k = c_0 + 2 sum_{0<q<n/2} c_q cos(2 pi k q / n) + c_{n/2} cos(pi k)
     """
+    assert n % 2 == 0, f"DFT bases assume even n (Nyquist bin), got {n}"
     K = n // 2 + 1
     u = np.full(K, 2.0)
     u[0] = u[-1] = 1.0
@@ -84,6 +86,7 @@ def prefix_sum_matrix(n: int) -> np.ndarray:
 def autocorr_weights(n: int) -> np.ndarray:
     """[K]: weights turning a one-sided power spectrum into autocorrelation:
     r_l = sum_k w_k P_k cos(2 pi k l / n)  ==  irfft(P_two_sided)[l]."""
+    assert n % 2 == 0, f"DFT bases assume even n (Nyquist bin), got {n}"
     K = n // 2 + 1
     w = np.full(K, 2.0 / n)
     w[0] = w[-1] = 1.0 / n

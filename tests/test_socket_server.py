@@ -35,9 +35,10 @@ def test_single_client_roundtrip(served):
     fs = cfg.dsp.sample_rate
     x = make_test_signal("harmonic", 0.5, fs).astype(np.float32)
     y = convert_over_socket(*srv.address, x)
-    # server emits whole chunks: full input length covered, tail padded
-    S = srv.chunk_samples
-    assert len(y) >= len(x) // S * S
+    # server emits whole chunks: full input duration covered, tail padded
+    # (lengths counted in each side's own rate — they differ cross-rate)
+    n_in_chunks = len(x) // srv.chunk_samples
+    assert len(y) >= n_in_chunks * srv.chunk_out_samples
     assert np.isfinite(y).all()
     assert float(np.abs(y).max()) > 1e-4, "silent output"
 
@@ -57,9 +58,10 @@ def test_concurrent_clients(served):
         t.start()
     for t in ts:
         t.join(timeout=120)
-    S = srv.chunk_samples
     for i, (x, y) in enumerate(zip(sigs, outs)):
-        assert y is not None and len(y) >= len(x) // S * S, f"client {i}"
+        n_in = len(x) // srv.chunk_samples
+        assert y is not None and len(y) >= n_in * srv.chunk_out_samples, \
+            f"client {i}"
         assert np.isfinite(y).all(), f"client {i}"
 
 
@@ -76,7 +78,10 @@ def test_slot_reuse_after_disconnect(served):
         # documented full-server contract, so retry briefly
         deadline = timelib.time() + 30
         while True:
-            y = convert_over_socket(*srv.address, x)
+            try:
+                y = convert_over_socket(*srv.address, x)
+            except OSError:      # rejected connect surfaces as an RST
+                y = np.zeros(0, np.float32)
             if len(y) or timelib.time() > deadline:
                 break
             timelib.sleep(0.2)
