@@ -64,6 +64,32 @@ def test_streamed_equals_offline(params, cfg, use_sr):
                                offline[lo:hi] / scale, rtol=0, atol=2e-3)
 
 
+def test_streamed_equals_offline_small_chunks(params):
+    """chunk_ms is a real knob (BASELINE config #2 uses 100 ms): a 40 ms
+    hop changes the whole chunk geometry and must still stream-equal the
+    offline path on the interior."""
+    import dataclasses
+
+    from realtime_yukarin_tpu.config import StreamingConfig
+
+    cfg = dataclasses.replace(Config(),
+                              streaming=StreamingConfig(chunk_ms=40.0))
+    x = make_test_signal("sweep", 0.8, cfg.dsp.sample_rate).astype(np.float32)
+    S = cfg.streaming.chunk_samples(cfg.dsp)
+    x = x[: (len(x) // S) * S]
+    F = len(x) // cfg.dsp.hop
+
+    offline = np.asarray(offline_convert(
+        params, jnp.asarray(x), jax.random.key(0), cfg, F))
+    streamed, stream = _stream_full(params, cfg, x)
+    geo = stream._geo
+    lo = (geo.model_ctx + 2) * cfg.dsp.hop
+    hi = (F - geo.model_ctx - 2) * cfg.dsp.hop
+    scale = np.abs(offline[lo:hi]).max() + 1e-9
+    np.testing.assert_allclose(streamed[lo:hi] / scale,
+                               offline[lo:hi] / scale, rtol=0, atol=2e-3)
+
+
 def test_streamed_equals_offline_neural_vocoder(params, cfg):
     x = make_test_signal("harmonic", 0.5, cfg.dsp.sample_rate
                          ).astype(np.float32)
