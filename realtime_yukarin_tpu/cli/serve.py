@@ -64,6 +64,21 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler (XProf) trace of the serving "
                         "loop here")
+    p.add_argument("--live", action="store_true",
+                   help="mic -> speaker mode via sounddevice/PyAudio (the "
+                        "reference run.py loop); requires an audio backend")
+    p.add_argument("--audio_backend", default="auto",
+                   choices=["auto", "sounddevice", "pyaudio"])
+    p.add_argument("--input_device", default=None,
+                   help="--live capture device (name substring or index; "
+                        "default from config, else system default)")
+    p.add_argument("--output_device", default=None,
+                   help="--live playback device")
+    p.add_argument("--list_devices", action="store_true",
+                   help="print the audio device table and exit")
+    p.add_argument("--duration", type=float, default=None,
+                   help="--live: stop after this many seconds (default: "
+                        "run until Ctrl-C)")
     p.add_argument("--socket", type=int, default=None, metavar="PORT",
                    help="multi-client TCP server mode: N concurrent raw-f32 "
                         "PCM streams, one batched device step per tick")
@@ -73,6 +88,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--realtime_factor_serve", type=float, default=0.0,
                    help="throttle the --socket ticker (0 = free-running)")
     args = p.parse_args(argv)
+
+    if args.list_devices:
+        from realtime_yukarin_tpu.runtime.live_audio import (
+            format_device_table, load_backend)
+        print(format_device_table(load_backend(args.audio_backend)
+                                  .list_devices()))
+        return
 
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
     params = init_params(jax.random.key(cfg.seed), cfg)
@@ -98,6 +120,27 @@ def main(argv: list[str] | None = None) -> None:
                           file=sys.stderr)
             except KeyboardInterrupt:
                 pass
+        return
+
+    if args.live:
+        from realtime_yukarin_tpu.runtime.live_audio import (LiveSession,
+                                                             load_backend)
+        from realtime_yukarin_tpu.runtime.pipelined import PipelinedStream
+        backend = load_backend(args.audio_backend)
+        with trace(args.profile_dir), PipelinedStream(
+                params, cfg, use_sr=not args.no_sr,
+                use_neural_vocoder=args.neural_vocoder, seed=args.seed,
+                depth=args.depth) as stream:
+            session = LiveSession(
+                stream, cfg, backend,
+                input_device=args.input_device or cfg.input_device,
+                output_device=args.output_device or cfg.output_device)
+            print(f"[serve] live: mic @{cfg.dsp.in_rate} Hz -> speaker "
+                  f"@{cfg.dsp.out_rate} Hz, algorithmic latency="
+                  f"{stream.latency_samples} samples; Ctrl-C to stop",
+                  file=sys.stderr)
+            session.run(duration=args.duration)
+            print(f"[serve] {stream.metrics.to_json()}", file=sys.stderr)
         return
 
     if args.pipelined:

@@ -242,6 +242,12 @@ class Config:
     input_statistics_path: str | None = None
     target_statistics_path: str | None = None
     use_neural_vocoder: bool = False
+    # Audio device names for the live mic/speaker front-end (reference
+    # config's input/output device settings): a name substring or index
+    # resolved by runtime/live_audio.py, None = system default.  Consumed
+    # by ``cli.serve --live``.
+    input_device: str | None = None
+    output_device: str | None = None
     # model compute dtype ("bfloat16" doubles MXU throughput; params stay
     # float32, heads cast back — identity-at-init is exact either way)
     compute_dtype: str = "bfloat16"
