@@ -115,15 +115,66 @@ def convert_window(params: dict, feat: AcousticFeature, cfg: Config,
 
 # ---------------------------------------------------------------------------
 # Parameter (de)serialization — the reference loads Chainer .npz snapshots
-# (SURVEY.md §3.3); here params live in a single msgpack file via flax.
+# (SURVEY.md §3.3).  Two formats, dispatched on extension everywhere:
+#   *.msgpack (default): one flax msgpack blob (the training checkpoint
+#     format, training/checkpoint.py)
+#   *.npz: one array per parameter under its slash-joined tree path —
+#     Chainer's serializer layout (``chainer.serializers.save_npz`` writes
+#     e.g. "predictor/conv1/W"), so snapshots are flat, inspectable with
+#     plain numpy, and loadable with no flax/framework dependency.  Loads
+#     are strict: missing/extra/mis-shaped names raise (a silent partial
+#     load of a voice model would be an audible bug, not a crash).
 # ---------------------------------------------------------------------------
 
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(getattr(p, "idx", p)))
+    return "/".join(parts)
+
+
+def flatten_params(params) -> dict[str, np.ndarray]:
+    """Pytree -> {slash/joined/path: array} (Chainer npz layout)."""
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    return {_path_str(path): np.asarray(leaf) for path, leaf in leaves}
+
+
+def unflatten_params(template, flat: dict[str, np.ndarray]):
+    """Strict inverse of :func:`flatten_params` against a template tree."""
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    names = [_path_str(p) for p, _ in paths_leaves]
+    missing = [n for n in names if n not in flat]
+    extra = sorted(set(flat) - set(names))
+    if missing or extra:
+        raise ValueError(f"npz params mismatch: missing={missing[:8]} "
+                         f"extra={extra[:8]}")
+    leaves = []
+    for name, (_, ref) in zip(names, paths_leaves):
+        arr = flat[name]
+        if tuple(arr.shape) != tuple(np.shape(ref)):
+            raise ValueError(f"shape mismatch for {name}: file "
+                             f"{arr.shape} vs model {np.shape(ref)}")
+        leaves.append(jnp.asarray(arr, jnp.asarray(ref).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def save_params(params: dict, path: str) -> None:
+    if str(path).endswith(".npz"):
+        np.savez(path, **flatten_params(params))
+        return
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(params))
 
 
 def load_params(template: dict, path: str) -> dict:
+    if str(path).endswith(".npz"):
+        with np.load(path, allow_pickle=False) as d:
+            return unflatten_params(template, dict(d))
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
 

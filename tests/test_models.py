@@ -123,6 +123,51 @@ def test_params_save_load_roundtrip(cfg, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_params_npz_roundtrip_and_strictness(cfg, tmp_path):
+    """Chainer-layout .npz snapshots (slash-joined tree paths, one array per
+    parameter) roundtrip exactly and load strictly (upstream:yukarin loads
+    chainer.serializers .npz snapshots — SURVEY.md §3.3)."""
+    import pytest
+    from realtime_yukarin_tpu.models.voice_changer import flatten_params
+
+    params = init_params(jax.random.key(0), cfg)
+    path = str(tmp_path / "params.npz")
+    save_params(params, path)
+
+    flat = np.load(path)
+    assert all("/" in n or n.startswith("f0_stats") for n in flat.files)
+    assert any(n.startswith("stage1/") for n in flat.files)
+
+    params2 = load_params(init_params(jax.random.key(9), cfg), path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # per-stage npz override through load_all_params (extension dispatch)
+    import dataclasses
+    from realtime_yukarin_tpu.models.voice_changer import load_all_params
+    s1_p = str(tmp_path / "stage1.npz")
+    save_params(params["stage1"], s1_p)
+    cfg2 = dataclasses.replace(cfg, stage1_params_path=s1_p)
+    got = load_all_params(init_params(jax.random.key(9), cfg), cfg2)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(got["stage1"])[0]),
+        np.asarray(jax.tree.leaves(params["stage1"])[0]))
+
+    # strictness: a missing / extra / mis-shaped name raises
+    flat_d = flatten_params(params)
+    some = next(iter(flat_d))
+    bad = dict(flat_d)
+    bad.pop(some)
+    np.savez(str(tmp_path / "missing.npz"), **bad)
+    with pytest.raises(ValueError, match="missing"):
+        load_params(params, str(tmp_path / "missing.npz"))
+    bad = dict(flat_d)
+    bad[some] = bad[some].reshape(-1)[: max(1, bad[some].size - 1)]
+    np.savez(str(tmp_path / "shape.npz"), **bad)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_params(params, str(tmp_path / "shape.npz"))
+
+
 def test_load_all_params_config_paths(cfg, tmp_path):
     """Every Config path field is load-bearing: per-stage subtree files and
     F0-statistics .npz files override exactly their part of the tree."""
