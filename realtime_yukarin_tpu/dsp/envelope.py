@@ -12,6 +12,8 @@ Matches ``golden.reference.spectral_envelope`` allclose.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,20 +33,32 @@ def power_spectrogram(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     return dft.power_spectrum(frames * hann(N, frames.dtype), N)
 
 
-def log_envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
-                            ) -> jnp.ndarray:
-    """Power spectrogram [F, K] + f0 [F] -> LOG power envelope [F, K].
+@functools.lru_cache(maxsize=None)
+def _folded_mcep_basis(n: int, spec_bins: int, order: int,
+                       alpha: float) -> np.ndarray:
+    """[Q, M+1] float64: inverse-cepstrum basis folded into the mcep fit.
 
-    Both pitch-adaptive steps are quefrency sinc filters (4 MXU matmuls
-    total, no gathers): (1) linear-domain smoothing with effective rect
-    width f0 fills inter-harmonic valleys; (2) log-domain liftering
-    removes residual harmonic ripple.
+    mc = (lifted half-cepstrum) @ (D @ A.T): both factors are constants,
+    so the analysis hot path projects straight from the [.., Q] cepstrum
+    to the [.., M+1] mel-cepstrum instead of reconstructing the full
+    [.., K] log envelope first and then fitting it (one [K, K]-sized
+    matmul fewer per step)."""
+    assert spec_bins == n // 2 + 1, (spec_bins, n)
+    D = dft.cepstrum_inverse_basis(n)                   # [Q, K]
+    _, A = prim.mcep_basis(spec_bins, order, alpha)     # [M+1, K]
+    return D @ A.T                                      # [Q, M+1]
 
-    The log-domain result is the primary output: the mel-cepstrum encode
-    consumes it directly (dsp/mcep.py), so the streaming hot path never
-    materializes exp(L) just to take log again (~7M transcendentals per
-    128-stream step).
-    """
+
+def _lifted_half_cepstrum(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared core of both envelope outputs: pitch-adaptive linear-domain
+    smoothing, per-frame relative floor, log, cepstrum + lifter.
+
+    Returns (c [F, Q] lifted half-cepstrum of the log envelope, lift_half).
+    Both pitch-adaptive steps are quefrency sinc filters (MXU matmuls, no
+    gathers): (1) linear-domain smoothing with effective rect width f0
+    fills inter-harmonic valleys; (2) log-domain liftering removes
+    residual harmonic ripple."""
     N = cfg.fft_size
     fs = float(cfg.sample_rate)
     f0_eff = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
@@ -60,7 +74,46 @@ def log_envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
         * 10.0 ** (cfg.envelope_floor_db / 10.0), prim.POWER_FLOOR)
     L = jnp.log(jnp.maximum(P, floor))
 
-    return dft.quefrency_filter(L, lift_half, N)
+    C = jnp.asarray(dft.cepstrum_basis(N), L.dtype)
+    return jnp.matmul(L, C, precision=dft.DFT_PRECISION) * lift_half, \
+        lift_half
+
+
+def log_envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
+                            ) -> jnp.ndarray:
+    """Power spectrogram [F, K] + f0 [F] -> LOG power envelope [F, K].
+
+    The log-domain result is the primary output: the mel-cepstrum encode
+    consumes it directly (dsp/mcep.py), so the streaming hot path never
+    materializes exp(L) just to take log again (~7M transcendentals per
+    128-stream step).
+    """
+    c, _ = _lifted_half_cepstrum(P, f0, cfg)
+    D = jnp.asarray(dft.cepstrum_inverse_basis(cfg.fft_size), c.dtype)
+    return jnp.matmul(c, D, precision=dft.DFT_PRECISION)
+
+
+def log_envelope_and_mcep(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(LOG power envelope [F, K], mel-cepstrum [F, M+1]) in one pass.
+
+    Both project from the shared lifted half-cepstrum; mc uses the folded
+    basis (:func:`_folded_mcep_basis`), so when only mc is consumed — the
+    streaming step, where conversion runs on mel-cepstra — XLA DCEs the
+    full [.., K] envelope reconstruction entirely.  No floor sits between
+    the lifter and the mcep fit: the log spectrum is floored *before*
+    liftering, and the log-domain lifter is frequency-domain smoothing
+    with an (almost entirely) positive rect kernel, so the envelope
+    cannot meaningfully undershoot that floor.  Matches
+    ``golden.reference.analyze``'s mc exactly (same math, float64)."""
+    N = cfg.fft_size
+    c, _ = _lifted_half_cepstrum(P, f0, cfg)
+    D = jnp.asarray(dft.cepstrum_inverse_basis(N), c.dtype)
+    E = jnp.asarray(_folded_mcep_basis(N, cfg.spec_bins, cfg.mcep_order,
+                                       cfg.mcep_alpha), c.dtype)
+    L_env = jnp.matmul(c, D, precision=dft.DFT_PRECISION)
+    mc = jnp.matmul(c, E, precision=dft.DFT_PRECISION)
+    return L_env, mc
 
 
 def envelope_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig

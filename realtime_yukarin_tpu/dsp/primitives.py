@@ -201,6 +201,18 @@ def noise_spec_interp_matrix(fft_size: int, hop: int):
     return W
 
 
+@functools.lru_cache(maxsize=None)
+def noise_band_interp_matrix(fft_size: int, hop: int, sample_rate: int,
+                             num_bands: int):
+    """[K_noise, B]: band aperiodicity straight onto the noise rfft grid.
+
+    Exactly ``noise_spec_interp_matrix @ ap_expand_matrix`` folded in
+    float64 — the device never materializes the [.., K] expanded
+    aperiodicity for the noise branch."""
+    return noise_spec_interp_matrix(fft_size, hop) @ ap_expand_matrix(
+        sample_rate, num_bands, fft_size // 2 + 1)
+
+
 def derived_geometry(cfg: DspConfig) -> dict:
     """Convenience bag of static sizes used across golden and JAX paths."""
     return dict(

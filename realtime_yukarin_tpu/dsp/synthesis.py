@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from realtime_yukarin_tpu.config import DspConfig
 from realtime_yukarin_tpu.dsp import primitives as prim
-from realtime_yukarin_tpu.dsp.aperiodicity import expand_aperiodicity
 from realtime_yukarin_tpu.dsp.framing import lerp_rows
 from realtime_yukarin_tpu.ops import dft
 
@@ -57,11 +56,20 @@ class SynthCarry(NamedTuple):
 
 
 def harmonic_amplitudes(f0: jnp.ndarray, env: jnp.ndarray,
-                        ap_full: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
-    """Per-frame harmonic amplitudes [F', H] from controls [F', ...]."""
+                        ap: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
+    """Per-frame harmonic amplitudes [F', H] from controls [F', ...].
+
+    env [F', K] on the rfft bin grid; ap [F', B] BAND values.  Harmonics
+    interpolate the band polyline directly (B ~ 5 nodes, a tiny dense
+    one-hot) instead of expanding it to K bins and re-interpolating: the
+    expanded [F', K] tensor doubled lerp_rows' HBM traffic as a second
+    interpolation channel, and direct interpolation of a piecewise-linear
+    function is the function itself (expand-then-lerp deviated slightly
+    wherever two envelope bins straddled a band center)."""
     fs = float(cfg.sample_rate)
     N = cfg.fft_size
     K = cfg.spec_bins
+    B = cfg.num_ap_bands
     wsumsq = prim.analysis_window_sumsq(N)
     h_idx = jnp.arange(1, cfg.max_harmonics + 1, dtype=env.dtype)
 
@@ -69,9 +77,16 @@ def harmonic_amplitudes(f0: jnp.ndarray, env: jnp.ndarray,
     f0f = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
     freqs = h_idx[None, :] * f0f[:, None]                     # [F', H]
     pos = jnp.clip(freqs * N / fs, 0.0, K - 1.0)
-    # env and ap share positions: one stacked interpolation (one one-hot)
-    both = lerp_rows(jnp.stack([env, ap_full], axis=-1), pos)
-    e_h, ap_h = both[..., 0], both[..., 1]
+    e_h = lerp_rows(env, pos)
+    if B > 1:
+        centers = prim.ap_band_centers(cfg.sample_rate, B)
+        # uniform band grid: clip() also reproduces the constant
+        # extrapolation of prim.ap_expand_matrix beyond the end centers
+        pos_b = jnp.clip((pos * (fs / N) - float(centers[0]))
+                         / float(centers[1] - centers[0]), 0.0, B - 1.0)
+        ap_h = lerp_rows(ap, pos_b)
+    else:
+        ap_h = jnp.broadcast_to(ap[:, :1], freqs.shape)
     alias_ok = (freqs < prim.HARMONIC_NYQUIST_FRACTION * fs / 2.0
                 ).astype(env.dtype)
     # envelope at a harmonic is mainlobe power averaged over the width-f0
@@ -97,17 +112,21 @@ def synthesis_controls(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
     n_noise = prim.noise_fft_size(hop)
     dtype = env.dtype
 
-    ap_full = expand_aperiodicity(ap, cfg)                    # [F+1, K]
-    amps = harmonic_amplitudes(f0, env, ap_full, cfg)         # [F+1, H]
+    amps = harmonic_amplitudes(f0, env, ap, cfg)              # [F+1, H]
     f0f = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
 
     wsumsq = prim.analysis_window_sumsq(N)
     Wn = jnp.asarray(prim.noise_spec_interp_matrix(N, hop), dtype)
+    # noise-grid ap straight from the band values: the band->bin expansion
+    # folds into the interp matrix host-side ([k_noise, B], float64), so
+    # the [F, K] expanded tensor never exists on device
+    Wna = jnp.asarray(prim.noise_band_interp_matrix(
+        N, hop, cfg.sample_rate, cfg.num_ap_bands), dtype)
     # HIGH (bf16_3x): these shape noise magnitudes; ~1e-6 relative error
     # is far below the noise branch's golden tolerance, at half the cost
     hp = jax.lax.Precision.HIGH
     e_noise = jnp.matmul(env[:F], Wn.T, precision=hp)         # [F, k_noise]
-    ap_noise = jnp.matmul(ap_full[:F], Wn.T, precision=hp)
+    ap_noise = jnp.matmul(ap[:F], Wna.T, precision=hp)
     noise_mag = jnp.sqrt(jnp.maximum(e_noise * ap_noise ** 2, 0.0)
                          * n_noise / wsumsq)
     return amps, noise_mag, f0f, f0 > 0

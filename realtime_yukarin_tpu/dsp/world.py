@@ -14,12 +14,11 @@ import jax.numpy as jnp
 
 from realtime_yukarin_tpu.config import DspConfig
 from realtime_yukarin_tpu.dsp.aperiodicity import band_aperiodicity
-from realtime_yukarin_tpu.dsp.envelope import (log_envelope_from_power,
+from realtime_yukarin_tpu.dsp.envelope import (log_envelope_and_mcep,
                                                power_spectrogram,
                                                spectral_envelope)
 from realtime_yukarin_tpu.dsp.f0 import estimate_f0
-from realtime_yukarin_tpu.dsp.mcep import (decode_mcep, encode_mcep,
-                                           encode_mcep_from_log)
+from realtime_yukarin_tpu.dsp.mcep import decode_mcep, encode_mcep
 from realtime_yukarin_tpu.dsp.synthesis import SynthCarry, synthesize
 
 
@@ -57,14 +56,14 @@ def analyze_given_f0(wave: jnp.ndarray, f0: jnp.ndarray, num_frames: int,
     median-filtered) F0 is supplied.  Frame-local given f0 — the streaming
     layer uses this to analyze ONLY the frames that became final this
     chunk and caches the rest (see streaming/pipeline.py)."""
-    # log-domain envelope is the primary product; mc encodes from it
-    # directly and the linear env (exp) is DCE'd by XLA when unused
-    # (e.g. the streaming step, where only mc feeds conversion)
+    # log-domain envelope and mc project from one shared lifted cepstrum;
+    # the linear env (exp) — and with it the whole [.., K] envelope
+    # reconstruction — is DCE'd by XLA when unused (e.g. the streaming
+    # step, where only mc feeds conversion)
     P = power_spectrogram(wave, num_frames, cfg, center_offset)
-    L = log_envelope_from_power(P, f0, cfg)
+    L, mc = log_envelope_and_mcep(P, f0, cfg)
     env = jnp.exp(L)
     ap = band_aperiodicity(wave, f0, num_frames, cfg, center_offset)
-    mc = encode_mcep_from_log(L, cfg)
     return AcousticFeature(f0=f0, env=env, ap=ap, mc=mc)
 
 

@@ -134,12 +134,13 @@ def _quefrency_filter(X: np.ndarray, lift: np.ndarray) -> np.ndarray:
     return np.fft.rfft(np.fft.irfft(X) * lift).real
 
 
-def spectral_envelope(x: np.ndarray, f0: np.ndarray, num_frames: int,
-                      cfg: DspConfig) -> np.ndarray:
+def log_spectral_envelope(x: np.ndarray, f0: np.ndarray, num_frames: int,
+                          cfg: DspConfig) -> np.ndarray:
     """Power spectrum -> f0-adaptive linear-domain smoothing (quefrency
     sinc = rect of full width f0, CheapTrick-style: fills inter-harmonic
     valleys so the envelope passes through harmonic peaks) -> log ->
-    f0-adaptive cepstral lifter -> exp."""
+    f0-adaptive cepstral lifter.  Returns the LOG power envelope — the
+    primary analysis product (mc encodes from it directly)."""
     N = cfg.fft_size
     hop = cfg.hop
     fs = float(cfg.sample_rate)
@@ -156,9 +157,13 @@ def spectral_envelope(x: np.ndarray, f0: np.ndarray, num_frames: int,
         floor = max(P.max() * 10.0 ** (cfg.envelope_floor_db / 10.0),
                     prim.POWER_FLOOR)
         L = np.log(np.maximum(P, floor))
-        L_env = _quefrency_filter(L, lift)
-        env[i] = np.exp(L_env)
+        env[i] = _quefrency_filter(L, lift)
     return env
+
+
+def spectral_envelope(x: np.ndarray, f0: np.ndarray, num_frames: int,
+                      cfg: DspConfig) -> np.ndarray:
+    return np.exp(log_spectral_envelope(x, f0, num_frames, cfg))
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +218,17 @@ def _two_sided(P_one_sided: np.ndarray, n: int) -> np.ndarray:
 def encode_mcep(env: np.ndarray, cfg: DspConfig) -> np.ndarray:
     _, A = prim.mcep_basis(cfg.spec_bins, cfg.mcep_order, cfg.mcep_alpha)
     return np.log(np.maximum(env, prim.POWER_FLOOR)) @ A.T
+
+
+def encode_mcep_from_log(L: np.ndarray, cfg: DspConfig) -> np.ndarray:
+    """Mel-cepstrum straight from the LOG envelope — the analysis path.
+
+    No extra floor: ``log_spectral_envelope`` already floors the log
+    spectrum before liftering, and the log-domain lifter is frequency-
+    domain smoothing with an (almost entirely) positive rect kernel, so
+    the envelope cannot meaningfully undershoot that floor."""
+    _, A = prim.mcep_basis(cfg.spec_bins, cfg.mcep_order, cfg.mcep_alpha)
+    return L @ A.T
 
 
 def decode_mcep(mc: np.ndarray, cfg: DspConfig) -> np.ndarray:
@@ -282,16 +298,18 @@ def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
     assert noise.shape == (F, k_noise, 2)
 
     wsumsq = prim.analysis_window_sumsq(N)
-    expand = prim.ap_expand_matrix(cfg.sample_rate, cfg.num_ap_bands, K)
-    noise_interp = prim.noise_spec_interp_matrix(N, hop)
+    noise_interp_b = prim.noise_band_interp_matrix(
+        N, hop, cfg.sample_rate, cfg.num_ap_bands)    # [k_noise, B]
     w_noise = prim.noise_window(hop)
     ola_norm = prim.noise_ola_norm(hop)
 
-    ap_full = ap @ expand.T                       # [F+1, K]
+    centers = prim.ap_band_centers(cfg.sample_rate, cfg.num_ap_bands)
     voiced = (f0 > 0).astype(np.float64)
     f0_filled = np.where(f0 > 0, f0, prim.DEFAULT_F0)
 
-    # per-frame harmonic amplitudes [F+1, H]
+    # per-frame harmonic amplitudes [F+1, H].  Aperiodicity at a harmonic
+    # interpolates the band polyline directly (np.interp clamps at the end
+    # centers, matching ap_expand_matrix's constant extrapolation).
     h_idx = np.arange(1, H + 1)
     amps = np.zeros((F + 1, H))
     for i in range(F + 1):
@@ -301,7 +319,7 @@ def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
         hi = np.minimum(lo + 1, K - 1)
         t = pos - lo
         e_h = env[i, lo] * (1 - t) + env[i, hi] * t
-        ap_h = ap_full[i, lo] * (1 - t) + ap_full[i, hi] * t
+        ap_h = np.interp(pos * fs / N, centers, ap[i])
         alias_ok = (freqs < prim.HARMONIC_NYQUIST_FRACTION * fs / 2.0)
         # envelope at a harmonic is its mainlobe power averaged over the
         # width-f0 smoothing window => amplitude a^2 = 4 E f0 / (fs W2)
@@ -334,8 +352,8 @@ def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
     if noise_tail is not None:
         acc[:n_noise - hop] += noise_tail
     for i in range(F):
-        e_noise = noise_interp @ env[i]                      # [k_noise]
-        ap_noise = noise_interp @ ap_full[i]
+        e_noise = prim.noise_spec_interp_matrix(N, hop) @ env[i]  # [k_noise]
+        ap_noise = noise_interp_b @ ap[i]
         # target per-sample variance E*ap^2/wsumsq; irfft of A*g with
         # g = (re + j*im)/sqrt(2) unit complex gives Var ~= A^2/n_noise.
         A = np.sqrt(np.maximum(e_noise * ap_noise ** 2, 0.0)
@@ -360,10 +378,10 @@ def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
 def analyze(x: np.ndarray, cfg: DspConfig):
     num_frames = len(x) // cfg.hop
     f0 = estimate_f0(x, num_frames, cfg)
-    env = spectral_envelope(x, f0, num_frames, cfg)
+    L = log_spectral_envelope(x, f0, num_frames, cfg)
     ap = band_aperiodicity(x, f0, num_frames, cfg)
-    mc = encode_mcep(env, cfg)
-    return dict(f0=f0, env=env, ap=ap, mc=mc)
+    mc = encode_mcep_from_log(L, cfg)
+    return dict(f0=f0, env=np.exp(L), ap=ap, mc=mc)
 
 
 # ---------------------------------------------------------------------------

@@ -172,6 +172,23 @@ def test_aperiodicity_matches_golden(dsp_cfg, kind):
     np.testing.assert_allclose(j, g, rtol=0, atol=2e-2)
 
 
+@pytest.mark.parametrize("kind", ["sweep", "speechlike"])
+def test_analysis_mcep_matches_golden(dsp_cfg, kind):
+    """The analysis hot path encodes mc through the FOLDED basis
+    (envelope._folded_mcep_basis: inverse-cepstrum @ mcep fit as one
+    precomputed matrix, no clamp in between) — pin it against the golden
+    two-matmul form on the same f0."""
+    from realtime_yukarin_tpu.dsp.world import analyze_given_f0
+    x = make_test_signal(kind, 0.4, dsp_cfg.sample_rate)
+    F = _frames(x, dsp_cfg)
+    f0 = ref.estimate_f0(x, F, dsp_cfg)
+    L = ref.log_spectral_envelope(x, f0, F, dsp_cfg)
+    g_mc = ref.encode_mcep_from_log(L, dsp_cfg)
+    feat = analyze_given_f0(jnp.asarray(x, jnp.float32),
+                            jnp.asarray(f0, jnp.float32), F, dsp_cfg)
+    np.testing.assert_allclose(np.asarray(feat.mc), g_mc, rtol=0, atol=5e-3)
+
+
 def test_mcep_roundtrip_matches_golden(dsp_cfg):
     x = make_test_signal("sweep", 0.4, dsp_cfg.sample_rate)
     F = _frames(x, dsp_cfg)
