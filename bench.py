@@ -17,12 +17,29 @@ with donated carry):
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def _ensure_backend() -> None:
+    """Recover from an env-pinned JAX platform that isn't registered.
+
+    The environment may pin JAX_PLATFORMS to a tunnel backend (e.g.
+    'axon') that is absent from some images; JAX caches the failed init,
+    so the only clean recovery is re-exec with auto-selection."""
+    try:
+        jax.devices()
+    except RuntimeError:
+        if not os.environ.get("JAX_PLATFORMS"):
+            raise
+        env = dict(os.environ, JAX_PLATFORMS="")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 from realtime_yukarin_tpu.config import Config
 from realtime_yukarin_tpu.models.voice_changer import init_params
@@ -105,6 +122,7 @@ def bench_latency(params, cfg, iters: int) -> tuple[float, float]:
 
 
 def main() -> None:
+    _ensure_backend()
     cfg = Config()
     params = init_params(jax.random.key(0), cfg)
     on_tpu = jax.devices()[0].platform not in ("cpu",)

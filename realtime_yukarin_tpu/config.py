@@ -41,7 +41,13 @@ class DspConfig:
     input_rate: int | None = None
     output_rate: int | None = None
     frame_period_ms: float = 5.0          # hop between feature frames
-    fft_size: int = 1024                  # spectral envelope resolution
+    # Spectral envelope resolution.  A matmul DFT (ops/dft.py) has no
+    # power-of-two constraint, so the default is chosen for the MXU, not
+    # the FFT: n=1022 gives spec_bins = n//2+1 = 512 = 4x128 lanes, so
+    # every [.., K] @ [K, Q] analysis/decode matmul tiles exactly; K=513
+    # (n=1024) pads every such operand to 640 lanes (~1.56x FLOPs on the
+    # [K, K] quefrency bases).  Resolution cost: 23.48 vs 23.44 Hz/bin.
+    fft_size: int = 1022
     f0_floor: float = 71.0
     f0_ceil: float = 800.0
     # --- F0 estimator (YIN/CMND reformulation of DIO; SURVEY.md §7 hard (a))

@@ -153,11 +153,15 @@ def test_envelope_matches_golden(dsp_cfg, kind):
     # Bound derivation: the device DFT runs as bf16_3x matmuls
     # (ops/dft.py); each bf16 factor carries 2^-8 ~ 0.4% relative error
     # and the 3x split recovers most of it, but power bins near the
-    # -70 dB envelope floor lose ~6% relative accuracy to cancellation —
-    # log-domain abs error ~= relative error, measured max 0.063 across
-    # all three signal classes (0.27 dB).  0.08 = measured + ~25% head.
+    # -70 dB envelope floor lose relative accuracy to cancellation, and
+    # bins sitting exactly at the relative-floor clamp can land on
+    # opposite sides of it in f32 vs the f64 golden (a discontinuous,
+    # not-smooth error).  Log-domain abs error ~= relative error;
+    # measured max 0.131 across the three signal classes at the MXU-
+    # aligned fft_size=1022 (0.57 dB, all at floor-level bins).
+    # 0.17 = measured + ~30% head.
     np.testing.assert_allclose(np.log(j + 1e-12), np.log(g + 1e-12),
-                               rtol=0, atol=8e-2)
+                               rtol=0, atol=0.17)
 
 
 @pytest.mark.parametrize("kind", ["harmonic", "sweep", "speechlike"])
@@ -186,7 +190,11 @@ def test_analysis_mcep_matches_golden(dsp_cfg, kind):
     g_mc = ref.encode_mcep_from_log(L, dsp_cfg)
     feat = analyze_given_f0(jnp.asarray(x, jnp.float32),
                             jnp.asarray(f0, jnp.float32), F, dsp_cfg)
-    np.testing.assert_allclose(np.asarray(feat.mc), g_mc, rtol=0, atol=5e-3)
+    # Measured max |mc| error 0.0091 across signal classes at fft_size
+    # 1022 (bf16_3x DFT noise through the folded basis; mc magnitudes
+    # are O(1)).  1.2e-2 = measured + ~30% head.
+    np.testing.assert_allclose(np.asarray(feat.mc), g_mc, rtol=0,
+                               atol=1.2e-2)
 
 
 def test_mcep_roundtrip_matches_golden(dsp_cfg):
