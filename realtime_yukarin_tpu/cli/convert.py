@@ -34,7 +34,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--output_path", required=True)
     p.add_argument("--config_path", default=None)
     p.add_argument("--params_path", default=None)
-    p.add_argument("--neural_vocoder", action="store_true")
+    p.add_argument("--neural_vocoder", action="store_true",
+                   help="legacy spelling of --vocoder ddsp")
+    p.add_argument("--vocoder", choices=["dsp", "ddsp", "wave"],
+                   default=None, help="synthesis stage (default: config)")
     p.add_argument("--no_sr", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -42,15 +45,15 @@ def main(argv: list[str] | None = None) -> None:
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
     params = init_params(jax.random.key(cfg.seed), cfg)
     params = load_all_params(params, cfg, params_path=args.params_path)
+    mode = (args.vocoder or ("ddsp" if args.neural_vocoder
+                             else cfg.resolved_vocoder_mode))
 
     # files are read at the configured INPUT rate and written at the
     # OUTPUT rate; the device pipeline resamples to/from the internal
     # rate itself (pipeline.offline_convert_io)
     x, rate = read_wav(args.input_path, target_rate=cfg.dsp.in_rate)
     y = offline_convert_io(params, jnp.asarray(x), jax.random.key(args.seed),
-                           cfg, use_sr=not args.no_sr,
-                           use_neural_vocoder=(args.neural_vocoder
-                                               or cfg.use_neural_vocoder))
+                           cfg, use_sr=not args.no_sr, vocoder_mode=mode)
     write_wav(args.output_path, np.asarray(y), cfg.dsp.out_rate)
     print(f"wrote {args.output_path}: {len(np.asarray(y))} samples "
           f"@ {cfg.dsp.out_rate} Hz")

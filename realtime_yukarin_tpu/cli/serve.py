@@ -53,7 +53,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--output_wav", default=None)
     p.add_argument("--realtime_factor", type=float, default=0.0,
                    help=">0: sleep to simulate a live mic at this speed")
-    p.add_argument("--neural_vocoder", action="store_true")
+    p.add_argument("--neural_vocoder", action="store_true",
+                   help="legacy spelling of --vocoder ddsp")
+    p.add_argument("--vocoder", choices=["dsp", "ddsp", "wave"],
+                   default=None, help="synthesis stage (default: config)")
     p.add_argument("--no_sr", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pipelined", action="store_true",
@@ -99,6 +102,9 @@ def main(argv: list[str] | None = None) -> None:
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
     params = init_params(jax.random.key(cfg.seed), cfg)
     params = load_all_params(params, cfg, params_path=args.params_path)
+    args.vocoder_mode = (args.vocoder
+                         or ("ddsp" if args.neural_vocoder
+                             else cfg.resolved_vocoder_mode))
 
     from realtime_yukarin_tpu.utils.profiling import trace
     if args.socket is not None:
@@ -109,7 +115,7 @@ def main(argv: list[str] | None = None) -> None:
                 num_streams=args.num_streams,
                 realtime_factor=args.realtime_factor_serve,
                 use_sr=not args.no_sr,
-                use_neural_vocoder=args.neural_vocoder,
+                vocoder_mode=args.vocoder_mode,
                 seed=args.seed) as srv:
             print(f"[serve] socket server on {srv.address}, "
                   f"{args.num_streams} stream slots", file=sys.stderr)
@@ -129,7 +135,7 @@ def main(argv: list[str] | None = None) -> None:
         backend = load_backend(args.audio_backend)
         with trace(args.profile_dir), PipelinedStream(
                 params, cfg, use_sr=not args.no_sr,
-                use_neural_vocoder=args.neural_vocoder, seed=args.seed,
+                vocoder_mode=args.vocoder_mode, seed=args.seed,
                 depth=args.depth) as stream:
             session = LiveSession(
                 stream, cfg, backend,
@@ -149,7 +155,7 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     stream = VoiceChangerStream(params, cfg, use_sr=not args.no_sr,
-                                use_neural_vocoder=args.neural_vocoder,
+                                vocoder_mode=args.vocoder_mode,
                                 seed=args.seed)
     S = stream.chunk_samples
     fs = cfg.dsp.in_rate
@@ -204,7 +210,7 @@ def _serve_pipelined(args, cfg: Config, params: dict) -> None:
     from realtime_yukarin_tpu.runtime.pipelined import PipelinedStream
 
     with PipelinedStream(params, cfg, use_sr=not args.no_sr,
-                         use_neural_vocoder=args.neural_vocoder,
+                         vocoder_mode=args.vocoder_mode,
                          seed=args.seed, depth=args.depth) as stream:
         S = stream.chunk_samples
         fs = cfg.dsp.in_rate

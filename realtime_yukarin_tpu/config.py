@@ -28,6 +28,18 @@ except Exception:  # pragma: no cover
     _HAVE_YAML = False
 
 
+def resolve_vocoder_mode(use_neural_vocoder: bool,
+                         vocoder_mode: str | None) -> str:
+    """Shared mode resolution for APIs that kept the legacy boolean:
+    explicit ``vocoder_mode`` wins; else the boolean selects ddsp/dsp."""
+    if vocoder_mode is not None:
+        if vocoder_mode not in ("dsp", "ddsp", "wave"):
+            raise ValueError(f"vocoder_mode must be dsp|ddsp|wave, "
+                             f"got {vocoder_mode!r}")
+        return vocoder_mode
+    return "ddsp" if use_neural_vocoder else "dsp"
+
+
 @dataclasses.dataclass(frozen=True)
 class DspConfig:
     """WORLD-equivalent analysis/synthesis parameters."""
@@ -47,6 +59,13 @@ class DspConfig:
     # every [.., K] @ [K, Q] analysis/decode matmul tiles exactly; K=513
     # (n=1024) pads every such operand to 640 lanes (~1.56x FLOPs on the
     # [K, K] quefrency bases).  Resolution cost: 23.48 vs 23.44 Hz/bin.
+    # COMPAT: spec_bins is a model-shape parameter — SRNet, the
+    # discriminator, and every envelope tensor are sized by it, so
+    # checkpoints/.npz snapshots trained under fft_size=1024 (513 bins,
+    # the pre-2026-08 default and the WORLD-conventional size) do NOT
+    # load under the 1022 default.  Pin ``dsp: {fft_size: 1024}`` in the
+    # YAML to load them; the strict loader detects the 513<->512 mismatch
+    # and names this knob (models/voice_changer.py:unflatten_params).
     fft_size: int = 1022
     f0_floor: float = 71.0
     f0_ceil: float = 800.0
@@ -59,6 +78,13 @@ class DspConfig:
     # 1 = full-rate search (the pre-decimation behavior).
     f0_decimation: int = 3
     cmnd_threshold: float = 0.14          # first-dip acceptance threshold
+    # When no dip clears cmnd_threshold (jittery/noisy frames), the
+    # fallback picks the SMALLEST lag whose local dip is within this
+    # margin of the global CMND minimum — the cumulative-mean
+    # normalization systematically deepens far dips, so a bare argmin
+    # prefers 2x the true period on jittery voices (measured on the
+    # formant fixture: dp(tau_true)-dp(2 tau) = 0.01..0.06).
+    fallback_dip_margin: float = 0.08
     voicing_threshold: float = 0.30       # min CMND above this => unvoiced
     # Octave-down verification (the role of Dio/Harvest multi-candidate
     # voting, upstream:mmorise/World src/dio.cpp): a weak fundamental under
@@ -66,6 +92,26 @@ class DspConfig:
     # period; if the dip near lag 2*tau is deeper by this margin, descend.
     # Frame-local by construction, so streaming stays bit-exact.
     octave_margin: float = 0.015
+    # Subharmonic (octave-UP) correction inside the full-rate refinement
+    # (dsp/f0.py:refine_f0_from_power): jitter decorrelates long lags, so
+    # on shimmery/jittery voices the CMND stage sometimes lands on 2x the
+    # true period (measured on the formant fixture: 13/91 frames).  The
+    # window-ACF-corrected periodicity p is phase-blind, and
+    # p(tau/2)/p(tau) ~= (E_even - E_odd)/(E_even + E_odd) of the
+    # candidate's harmonic stack — >= 1 - margin means there is NO odd-
+    # harmonic energy, i.e. tau is a doubled period: halve it.  A real
+    # weak-fundamental signal keeps measurable odd energy and fails the
+    # test (the weakfund fixture sits at ~0.965).
+    octave_up_margin: float = 0.01
+    # Octave-continuity snap (the role of Harvest's candidate voting /
+    # contour selection, upstream:mmorise/World src/harvest.cpp): after
+    # the 3-tap median, each voiced frame may be shifted by +-1 octave
+    # toward the log-domain median of its +-f0_snap_halo voiced
+    # neighborhood — fixing short runs (<= halo) of octave errors that a
+    # 3-tap median cannot.  Costs ``f0_snap_halo`` extra frames of
+    # algorithmic lookahead in streaming (at 5 ms frames: 15 ms).
+    # 0 disables the snap (the low-latency profile).
+    f0_snap_halo: int = 3
     # --- envelope (CheapTrick-equivalent: fixed window + f0-adaptive lifter)
     # relative floor: per-frame power is clamped to peak * 10^(db/10).
     # Keeping the log dynamic range modest makes the envelope robust to
@@ -149,6 +195,13 @@ class DspConfig:
     def mc_dim(self) -> int:
         return self.mcep_order + 1
 
+    @property
+    def f0_edge_frames(self) -> int:
+        """Trailing analysis frames whose F0 is still provisional in
+        streaming: 1 (median3 right neighbor) + f0_snap_halo (octave-snap
+        lookahead).  Drives StreamGeometry's halo arithmetic."""
+        return 1 + self.f0_snap_halo
+
 
 @dataclasses.dataclass(frozen=True)
 class AcousticModelConfig:
@@ -194,6 +247,31 @@ class VocoderNNConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class VocoderWaveConfig:
+    """Learned frame->waveform decoder (Vocos/WaveNeXt-style iSTFT head).
+
+    The third vocoder mode (``vocoder_mode: wave``): unlike the DDSP
+    control net (which can only rescale the fixed harmonic+noise
+    renderer's controls), this head predicts complex short-time spectra
+    that are iSTFT/overlap-added ONTO the DSP renderer's output — an
+    additive residual spanning the full signal space (phase, transients,
+    inter-harmonic structure).  Zero-init heads keep it exactly equal to
+    the DSP renderer at init.  Phase coherence: the head combines hidden
+    features with cos/sin(m * frame-boundary fundamental phase) for
+    m = 1..phase_harmonics, so residual harmonics up to that order can be
+    phase-locked to the excitation."""
+
+    hidden: int = 256
+    num_blocks: int = 4
+    kernel_size: int = 3
+    phase_harmonics: int = 12
+
+    @property
+    def context_frames(self) -> int:
+        return self.num_blocks * (self.kernel_size // 2)
+
+
+@dataclasses.dataclass(frozen=True)
 class StreamingConfig:
     """Chunked-streaming geometry.
 
@@ -231,6 +309,8 @@ class Config:
         default_factory=SuperResolutionConfig)
     vocoder_nn: VocoderNNConfig = dataclasses.field(
         default_factory=VocoderNNConfig)
+    vocoder_wave: VocoderWaveConfig = dataclasses.field(
+        default_factory=VocoderWaveConfig)
     streaming: StreamingConfig = dataclasses.field(
         default_factory=StreamingConfig)
     serving: ServingConfig = dataclasses.field(default_factory=ServingConfig)
@@ -245,8 +325,15 @@ class Config:
     stage1_params_path: str | None = None
     stage2_params_path: str | None = None
     vocoder_params_path: str | None = None
+    vocoder_wave_params_path: str | None = None
     input_statistics_path: str | None = None
     target_statistics_path: str | None = None
+    # Synthesis stage selection (BASELINE config #4):
+    #   "dsp"  — fixed harmonic+noise renderer (WORLD-synthesis role)
+    #   "ddsp" — DDSP control net rescaling the DSP renderer's controls
+    #   "wave" — learned iSTFT residual head (full waveform freedom)
+    # ``use_neural_vocoder: true`` is the legacy spelling of "ddsp".
+    vocoder_mode: str = "dsp"
     use_neural_vocoder: bool = False
     # Audio device names for the live mic/speaker front-end (reference
     # config's input/output device settings): a name substring or index
@@ -258,6 +345,17 @@ class Config:
     # float32, heads cast back — identity-at-init is exact either way)
     compute_dtype: str = "bfloat16"
     seed: int = 0
+
+    @property
+    def resolved_vocoder_mode(self) -> str:
+        """The effective synthesis mode, honoring the legacy boolean."""
+        mode = self.vocoder_mode
+        if mode not in ("dsp", "ddsp", "wave"):
+            raise ValueError(f"vocoder_mode must be dsp|ddsp|wave, "
+                             f"got {mode!r}")
+        if self.use_neural_vocoder and mode == "dsp":
+            return "ddsp"
+        return mode
 
     # ------------------------------------------------------------------
     @classmethod
@@ -276,6 +374,7 @@ class Config:
             "acoustic": AcousticModelConfig,
             "super_resolution": SuperResolutionConfig,
             "vocoder_nn": VocoderNNConfig,
+            "vocoder_wave": VocoderWaveConfig,
             "streaming": StreamingConfig,
             "serving": ServingConfig,
         }

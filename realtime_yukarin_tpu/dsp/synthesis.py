@@ -55,6 +55,19 @@ class SynthCarry(NamedTuple):
                    noise_tail=jnp.zeros((n_noise - cfg.hop,), dtype))
 
 
+class WaveCarry(NamedTuple):
+    """Carry of the "wave" vocoder mode: the DSP renderer's state plus the
+    learned residual's own OLA tail (models/vocoder_wave.py)."""
+    synth: SynthCarry
+    res_tail: jnp.ndarray     # [noise_fft - hop]
+
+    @classmethod
+    def zeros(cls, cfg: DspConfig, dtype=jnp.float32) -> "WaveCarry":
+        n = prim.noise_fft_size(cfg.hop)
+        return cls(synth=SynthCarry.zeros(cfg, dtype),
+                   res_tail=jnp.zeros((n - cfg.hop,), dtype))
+
+
 def harmonic_amplitudes(f0: jnp.ndarray, env: jnp.ndarray,
                         ap: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
     """Per-frame harmonic amplitudes [F', H] from controls [F', ...].
@@ -147,31 +160,35 @@ def synthesize(f0: jnp.ndarray, env: jnp.ndarray, ap: jnp.ndarray,
     return render(amps, noise_mag, f0f, voiced, noise, cfg, carry)
 
 
-def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
-           voiced: jnp.ndarray, noise: jnp.ndarray, cfg: DspConfig,
-           carry: SynthCarry | None = None
-           ) -> tuple[jnp.ndarray, SynthCarry]:
-    """Render a waveform from synthesis controls.
+class PhaseTrack(NamedTuple):
+    """Integrated excitation phase for F output frames.
 
-    amps [F+1, H] harmonic amplitudes; noise_mag [F, k_noise] rfft-domain
-    noise magnitudes; f0f [F+1] filled instantaneous F0 (Hz, never 0);
-    voiced [F+1] bool voicing flags; noise [F, k_noise, 2] unit gaussians.
+    Shared between the DSP renderer and the learned waveform decoder
+    (models/vocoder_wave.py), whose head phase-locks residual harmonics
+    to ``boundaries``.
+    """
+    phi: jnp.ndarray         # [F, hop] per-sample fundamental phase
+    boundaries: jnp.ndarray  # [F] phase at each frame start (mod 2pi)
+    frac: jnp.ndarray        # [hop] intra-hop interpolation weight (0, 1]
+    phase_out: jnp.ndarray   # [] carry-out phase
+    vprev_out: jnp.ndarray   # [] carry-out voicing
+
+
+def integrate_phase(f0f: jnp.ndarray, voiced: jnp.ndarray, cfg: DspConfig,
+                    carry: SynthCarry) -> PhaseTrack:
+    """Per-sample phase from the F0 contour, scan-free.
+
+    f0f [F+1] filled instantaneous F0 (Hz, never 0); voiced [F+1] bool.
+    Phase integration is a triangular-ones matmul (lane cumsums serialize
+    on TPU — see ops/dft.py); HIGHEST keeps phase at f32 accuracy.
     """
     F = f0f.shape[0] - 1
     hop = cfg.hop
     fs = float(cfg.sample_rate)
-    n_noise = prim.noise_fft_size(hop)
-    dtype = amps.dtype
-    if carry is None:
-        carry = SynthCarry.zeros(cfg, dtype)
-
-    # ---- harmonic branch ------------------------------------------------
+    dtype = f0f.dtype
     frac = (jnp.arange(hop, dtype=dtype) + 1.0) / hop         # (0, 1]
     f_inst = (f0f[:-1, None] * (1.0 - frac)[None, :]
               + f0f[1:, None] * frac[None, :])                # [F, hop]
-    # phase integration as a triangular-ones matmul (lane cumsums
-    # serialize on TPU — see ops/dft.py); HIGHEST keeps phase at f32
-    # accuracy or better
     M = jnp.asarray(dft.prefix_sum_matrix(hop), dtype)
     cum = jnp.matmul(2.0 * jnp.pi * f_inst / fs, M,
                      precision=jax.lax.Precision.HIGHEST)     # [F, hop]
@@ -206,7 +223,62 @@ def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
     phase_out = jnp.mod(base[F - 1] + csum[F] - csum_r[F - 1], two_pi)
     vprev_out = v[F - 1]
     phi = boundaries[:, None] + cum                            # [F, hop]
+    return PhaseTrack(phi=phi, boundaries=boundaries, frac=frac,
+                      phase_out=phase_out, vprev_out=vprev_out)
 
+
+def ola_hop_blocks(seg: jnp.ndarray, tail: jnp.ndarray, hop: int
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-COLA overlap-add via block shifting.
+
+    seg [F, n] windowed segments, n a multiple of hop (segment i starts
+    at sample i*hop); tail [n - hop] carry-in.  Returns (out [F*hop],
+    tail_out [n - hop]).  Block m of segment i lands on output frame i+m
+    — no gathers, no scan.  Shared by the noise branch and the learned
+    waveform decoder's residual iSTFT.
+    """
+    F, n = seg.shape
+    n_blocks = n // hop
+    blocks = seg.reshape(F, n_blocks, hop)
+    acc = jnp.zeros((F + n_blocks - 1, hop), seg.dtype)
+    for m in range(n_blocks):
+        acc = acc.at[m: m + F].add(blocks[:, m, :])
+    acc = acc.reshape(-1)                                      # [T + tail]
+    acc = acc.at[: n - hop].add(tail)
+    T = F * hop
+    return acc[:T], acc[T:]
+
+
+def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
+           voiced: jnp.ndarray, noise: jnp.ndarray, cfg: DspConfig,
+           carry: SynthCarry | None = None
+           ) -> tuple[jnp.ndarray, SynthCarry]:
+    """Render a waveform from synthesis controls.
+
+    amps [F+1, H] harmonic amplitudes; noise_mag [F, k_noise] rfft-domain
+    noise magnitudes; f0f [F+1] filled instantaneous F0 (Hz, never 0);
+    voiced [F+1] bool voicing flags; noise [F, k_noise, 2] unit gaussians.
+    """
+    dtype = amps.dtype
+    if carry is None:
+        carry = SynthCarry.zeros(cfg, dtype)
+    track = integrate_phase(f0f, voiced, cfg, carry)
+    return render_core(amps, noise_mag, track, noise, cfg, carry)
+
+
+def render_core(amps: jnp.ndarray, noise_mag: jnp.ndarray,
+                track: PhaseTrack, noise: jnp.ndarray, cfg: DspConfig,
+                carry: SynthCarry) -> tuple[jnp.ndarray, SynthCarry]:
+    """Renderer body given a precomputed :class:`PhaseTrack` (the waveform
+    decoder computes the track once and shares it with its residual head).
+    """
+    F = track.phi.shape[0]
+    hop = cfg.hop
+    n_noise = prim.noise_fft_size(hop)
+    dtype = amps.dtype
+    phi, frac = track.phi, track.frac
+
+    # ---- harmonic branch ------------------------------------------------
     if _use_pallas():
         # Pallas Chebyshev-recurrence kernel: one sin/cos per sample, FMA
         # per harmonic (ops/pallas_synth.py — the vocoder sampling loop)
@@ -235,19 +307,9 @@ def render(amps: jnp.ndarray, noise_mag: jnp.ndarray, f0f: jnp.ndarray,
     # irfft as two MXU matmuls (ops/dft.py) — no XLA FFT in the hot path
     seg = dft.irfft_real(re, im, n_noise) * w_noise[None, :]
 
-    # exact-COLA overlap-add via block shifting: n_noise = 4*hop, so block m
-    # of segment i lands on output frame i+m.
-    n_blocks = n_noise // hop
-    blocks = seg.reshape(F, n_blocks, hop)
-    acc = jnp.zeros((F + n_blocks - 1, hop), dtype)
-    for m in range(n_blocks):
-        acc = acc.at[m: m + F].add(blocks[:, m, :])
-    acc = acc.reshape(-1)                                      # [T + tail]
-    acc = acc.at[: n_noise - hop].add(carry.noise_tail)
-
-    T = F * hop
+    acc, tail = ola_hop_blocks(seg, carry.noise_tail, hop)
     norm = jnp.tile(jnp.asarray(prim.noise_ola_norm(hop), dtype), F)
-    wave = harm + acc[:T] / norm
-    new_carry = SynthCarry(phase=phase_out, voiced_prev=vprev_out,
-                           noise_tail=acc[T:])
+    wave = harm + acc / norm
+    new_carry = SynthCarry(phase=track.phase_out,
+                           voiced_prev=track.vprev_out, noise_tail=tail)
     return wave, new_carry

@@ -6,10 +6,11 @@ envelope decoded from converted mel-cepstrum to a full-detail envelope.
 
 TPU-first re-design (2nd iteration): the 2-D U-Net treated frequency as a
 spatial axis — small channel counts starved the MXU (43 ms/step measured).
-A frequency-mixing design is both stronger for 513-bin envelopes (every
-output bin sees every input bin immediately) and MXU-native: dense
-freq-mixing layers + gated time convolutions with ~512 channels, all
-[rows, 512]x[512, .] matmuls.  ~16x fewer FLOPs than the U-Net and a
+A frequency-mixing design is both stronger for cfg.spec_bins-bin
+envelopes (512 at the default fft_size=1022; every output bin sees every
+input bin immediately) and MXU-native: dense freq-mixing layers + gated
+time convolutions with ~512 channels, all [rows, K]x[K, .] matmuls.
+~16x fewer FLOPs than the U-Net and a
 4-frame time context instead of 15 (shorter streaming halo/latency).
 Works on log-power; zero-init head => identity at init.
 """

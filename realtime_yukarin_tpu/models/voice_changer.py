@@ -28,15 +28,17 @@ from realtime_yukarin_tpu.models.vocoder_nn import init_vocoder_params
 
 
 def init_params(key: jax.Array, cfg: Config, dtype=jnp.float32) -> dict:
-    """Initialize the full parameter pytree (both stages + neural vocoder +
-    F0 statistics as device scalars)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    """Initialize the full parameter pytree (both stages + both neural
+    vocoders + F0 statistics as device scalars)."""
+    from realtime_yukarin_tpu.models.vocoder_wave import init_wave_params
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     d_in = cfg.dsp.mc_dim + (2 if cfg.acoustic.use_f0_input else 0)
     stage1 = AcousticNet(cfg.acoustic, cfg.dsp.mc_dim, dtype).init(
         k1, jnp.zeros((1, 8, d_in), jnp.float32))
     stage2 = SRNet(cfg.super_resolution, cfg.dsp.spec_bins, dtype).init(
         k2, jnp.zeros((1, 8, cfg.dsp.spec_bins), jnp.float32))
     vocoder = init_vocoder_params(k3, cfg.vocoder_nn, cfg.dsp, dtype)
+    vocoder_wave = init_wave_params(k4, cfg.vocoder_wave, cfg.dsp, dtype)
     f0_stats = {
         "src_mean": jnp.asarray(np.log(160.0), jnp.float32),
         "src_std": jnp.asarray(0.25, jnp.float32),
@@ -44,7 +46,7 @@ def init_params(key: jax.Array, cfg: Config, dtype=jnp.float32) -> dict:
         "tgt_std": jnp.asarray(0.25, jnp.float32),
     }
     return {"stage1": stage1, "stage2": stage2, "vocoder": vocoder,
-            "f0_stats": f0_stats}
+            "vocoder_wave": vocoder_wave, "f0_stats": f0_stats}
 
 
 def convert_f0_stats(f0: jnp.ndarray, stats: dict) -> jnp.ndarray:
@@ -157,8 +159,18 @@ def unflatten_params(template, flat: dict[str, np.ndarray]):
     for name, (_, ref) in zip(names, paths_leaves):
         arr = flat[name]
         if tuple(arr.shape) != tuple(np.shape(ref)):
+            hint = ""
+            # the one historical shape break: spec_bins 513 (fft_size
+            # 1024, the pre-2026-08 default) vs 512 (fft_size 1022, the
+            # MXU-aligned current default) — name the knob
+            pairs = set(zip(arr.shape, np.shape(ref)))
+            if (513, 512) in pairs or (512, 513) in pairs:
+                hint = ("; this looks like a spec_bins mismatch — "
+                        "snapshots trained at fft_size=1024 (513 bins) "
+                        "need `dsp: {fft_size: 1024}` pinned in the "
+                        "config (see config.DspConfig.fft_size)")
             raise ValueError(f"shape mismatch for {name}: file "
-                             f"{arr.shape} vs model {np.shape(ref)}")
+                             f"{arr.shape} vs model {np.shape(ref)}{hint}")
         leaves.append(jnp.asarray(arr, jnp.asarray(ref).dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -195,7 +207,8 @@ def load_all_params(params: dict, cfg: Config,
             params = load_params(params, full)
     for key, path in (("stage1", cfg.stage1_params_path),
                       ("stage2", cfg.stage2_params_path),
-                      ("vocoder", cfg.vocoder_params_path)):
+                      ("vocoder", cfg.vocoder_params_path),
+                      ("vocoder_wave", cfg.vocoder_wave_params_path)):
         if path:
             params = dict(params)
             params[key] = load_params(params[key], path)

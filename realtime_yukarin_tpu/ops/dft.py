@@ -2,11 +2,14 @@
 
 XLA's FFT HLO on TPU is an order of magnitude slower than a dense DFT
 matmul at our sizes (measured: |STFT|^2 via rfft = 42 ms vs ~3 ms as two
-[rows,1024]x[1024,513] matmuls for a 64-stream chunk).  All analysis
-transforms here are fixed-size (fft_size = 1024), so the bases are
-precomputed host-side once and the per-frame work rides the MXU
-(SURVEY.md §7 step 3: "fused framing+STFT+cepstrum ... as matmul against a
-precomputed basis").
+[rows, n]x[n, n//2+1] matmuls for a 64-stream chunk).  All analysis
+transforms are fixed-size per config (n = cfg.fft_size, default 1022 so
+spec_bins = 512 tiles the MXU lanes exactly — see config.DspConfig), so
+the bases are precomputed host-side once per size and the per-frame work
+rides the MXU (SURVEY.md §7 step 3: "fused framing+STFT+cepstrum ... as
+matmul against a precomputed basis").  A matmul DFT has no power-of-two
+constraint; the only shape requirement is EVEN n (the bases treat bin
+n//2 as a self-conjugate Nyquist bin).
 
 Precision: bf16_3x (``Precision.HIGH``) keeps DFT error ~1e-6 relative to
 the spectral peak — comfortably below the -70 dB envelope floor — at 1/2

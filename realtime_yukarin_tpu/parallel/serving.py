@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.config import Config, resolve_vocoder_mode
 from realtime_yukarin_tpu.parallel.mesh import (DATA_AXIS, make_mesh,
                                                 model_shard_specs,
                                                 shard_batch_pytree)
@@ -37,7 +37,8 @@ from realtime_yukarin_tpu.streaming.state import StreamCarry, StreamGeometry
 
 
 def make_batched_step(cfg: Config, mesh: Mesh, use_sr: bool = True,
-                      use_neural_vocoder: bool = False):
+                      use_neural_vocoder: bool = False,
+                      vocoder_mode: str | None = None):
     """Build the pjit-compiled batched streaming step.
 
     Returns step(params, init_carry, carries, chunks [N, S], keys [N],
@@ -60,8 +61,10 @@ def make_batched_step(cfg: Config, mesh: Mesh, use_sr: bool = True,
         carry = jax.tree.map(
             lambda i, c: jnp.where(jnp.reshape(reset, (1,) * c.ndim), i, c),
             init_c, carry)
-        out, new_carry = streaming_step_impl(params, carry, chunk, key, cfg,
-                                             use_sr, use_neural_vocoder)
+        out, new_carry = streaming_step_impl(
+            params, carry, chunk, key, cfg, use_sr,
+            vocoder_mode=resolve_vocoder_mode(use_neural_vocoder,
+                                              vocoder_mode))
         keep = jax.tree.map(
             lambda new, old: jnp.where(
                 jnp.reshape(live, (1,) * new.ndim), new, old),
@@ -89,21 +92,23 @@ class BatchedServer:
 
     def __init__(self, params: dict, cfg: Config, num_streams: int | None
                  = None, mesh: Mesh | None = None, use_sr: bool = True,
-                 use_neural_vocoder: bool = False, seed: int = 0):
+                 use_neural_vocoder: bool = False, seed: int = 0,
+                 vocoder_mode: str | None = None):
+        mode = resolve_vocoder_mode(use_neural_vocoder, vocoder_mode)
         self._cfg = cfg
         self._mesh = mesh if mesh is not None else make_mesh()
         n = num_streams or cfg.serving.num_streams
         dp = self._mesh.shape[DATA_AXIS]
         n = -(-n // dp) * dp          # round up to the data-axis size
         self._geo = StreamGeometry.from_config(cfg, use_sr,
-                                               use_neural_vocoder)
+                                               vocoder_mode=mode)
         self._step = make_batched_step(cfg, self._mesh, use_sr,
-                                       use_neural_vocoder)
+                                       vocoder_mode=mode)
 
         # init through jit-with-out-shardings: at N processes this is one
         # collective program materializing each host's shards — a plain
         # device_put of host arrays cannot target non-addressable devices
-        one = StreamCarry.init(cfg, self._geo, params)
+        one = StreamCarry.init(cfg, self._geo, params, vocoder_mode=mode)
         carry_shardings = shard_batch_pytree(
             self._mesh, jax.tree.map(lambda x: jnp.zeros((n,) + x.shape),
                                      one))

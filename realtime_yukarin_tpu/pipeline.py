@@ -15,11 +15,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from realtime_yukarin_tpu.config import Config
+from realtime_yukarin_tpu.config import Config, resolve_vocoder_mode
 from realtime_yukarin_tpu.dsp import primitives as prim
 from realtime_yukarin_tpu.dsp.synthesis import SynthCarry, synthesize
 from realtime_yukarin_tpu.dsp.world import AcousticFeature, analyze
 from realtime_yukarin_tpu.models.vocoder_nn import neural_vocode
+from realtime_yukarin_tpu.models.vocoder_wave import waveform_vocode
 from realtime_yukarin_tpu.models.voice_changer import (compute_dtype,
                                                        convert_features)
 from realtime_yukarin_tpu.streaming.pipeline import frame_noise
@@ -42,31 +43,39 @@ def noise_bins(cfg: Config) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "num_frames", "use_sr",
-                                    "use_neural_vocoder"))
+                                    "use_neural_vocoder", "vocoder_mode"))
 def offline_convert(params: dict, wave: jnp.ndarray, key: jax.Array,
                     cfg: Config, num_frames: int, use_sr: bool = True,
-                    use_neural_vocoder: bool = False) -> jnp.ndarray:
+                    use_neural_vocoder: bool = False,
+                    vocoder_mode: str | None = None) -> jnp.ndarray:
     """wave [T] -> converted wave [num_frames * hop], fully on-device."""
+    mode = resolve_vocoder_mode(use_neural_vocoder, vocoder_mode)
     feat = analyze(wave, num_frames, cfg.dsp)
     conv = convert_features(params, feat, cfg, use_sr=use_sr)
     conv = _extend_one_frame(conv)
     # per-frame fold_in noise: identical scheme to the streaming path, so
     # streamed and offline outputs agree exactly (tests/test_streaming.py)
     noise = frame_noise(key, 0, num_frames, noise_bins(cfg))
-    if use_neural_vocoder:
+    if mode == "ddsp":
         out, _ = neural_vocode(params["vocoder"], conv.f0, conv.env,
                                conv.ap, conv.mc, noise, cfg.vocoder_nn,
                                cfg.dsp, dtype=compute_dtype(cfg))
+    elif mode == "wave":
+        out, _ = waveform_vocode(params["vocoder_wave"], conv.f0, conv.env,
+                                 conv.ap, conv.mc, noise, cfg.vocoder_wave,
+                                 cfg.dsp, dtype=compute_dtype(cfg))
     else:
         out, _ = synthesize(conv.f0, conv.env, conv.ap, noise, cfg.dsp)
     return out
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "use_sr", "use_neural_vocoder"))
+                   static_argnames=("cfg", "use_sr", "use_neural_vocoder",
+                                    "vocoder_mode"))
 def offline_convert_io(params: dict, wave_in: jnp.ndarray, key: jax.Array,
                        cfg: Config, use_sr: bool = True,
-                       use_neural_vocoder: bool = False) -> jnp.ndarray:
+                       use_neural_vocoder: bool = False,
+                       vocoder_mode: str | None = None) -> jnp.ndarray:
     """Client-rate offline conversion: wave at cfg.dsp.in_rate ->
     converted wave at cfg.dsp.out_rate, through the same resample plans
     the streaming step uses (so streamed == offline holds across rates).
@@ -75,12 +84,13 @@ def offline_convert_io(params: dict, wave_in: jnp.ndarray, key: jax.Array,
     from realtime_yukarin_tpu.streaming.state import (StreamGeometry,
                                                       input_plan,
                                                       output_plan)
-    geo = StreamGeometry.from_config(cfg, use_sr, use_neural_vocoder)
+    mode = resolve_vocoder_mode(use_neural_vocoder, vocoder_mode)
+    geo = StreamGeometry.from_config(cfg, use_sr, vocoder_mode=mode)
     x = resample_signal(wave_in, input_plan(cfg.dsp, geo.chunk_samples))
     hop = cfg.dsp.hop
     F = x.shape[0] // hop
     y = offline_convert(params, x[: F * hop], key, cfg, F, use_sr,
-                        use_neural_vocoder)
+                        vocoder_mode=mode)
     return resample_signal(y, output_plan(cfg.dsp, geo.chunk_samples))
 
 

@@ -48,14 +48,15 @@ class PipelinedStream:
     def __init__(self, params: dict, cfg: Config, use_sr: bool = True,
                  use_neural_vocoder: bool = False, seed: int = 0,
                  depth: int = 2, ring_seconds: float = 4.0,
-                 warmup: bool = True):
+                 warmup: bool = True, vocoder_mode: str | None = None):
+        from realtime_yukarin_tpu.config import resolve_vocoder_mode
         self._params = params
         self._cfg = cfg
         self._use_sr = use_sr
-        self._use_nn = use_neural_vocoder
+        self._mode = resolve_vocoder_mode(use_neural_vocoder, vocoder_mode)
         self._key = jax.random.key(seed)
         self._carry, self._geo = init_stream(params, cfg, use_sr,
-                                             use_neural_vocoder)
+                                             vocoder_mode=self._mode)
         self._depth = max(1, depth)
 
         if warmup:
@@ -67,7 +68,8 @@ class PipelinedStream:
             y, _ = streaming_step(params, scratch,
                                   jnp.zeros(self._geo.chunk_in_samples,
                                             jnp.float32),
-                                  self._key, cfg, use_sr, use_neural_vocoder)
+                                  self._key, cfg, use_sr,
+                                  vocoder_mode=self._mode)
             np.asarray(y[:1])                  # sync: compile finished
 
         self._in_rb = RingBuffer(int(ring_seconds * cfg.dsp.in_rate))
@@ -160,7 +162,8 @@ class PipelinedStream:
                 t0 = time.perf_counter()
                 y, self._carry = streaming_step(
                     self._params, self._carry, jnp.asarray(chunk),
-                    self._key, self._cfg, self._use_sr, self._use_nn)
+                    self._key, self._cfg, self._use_sr,
+                    vocoder_mode=self._mode)
                 self.metrics.dispatch_latency.record(
                     1000 * (time.perf_counter() - t0))
                 inflight.append((t0, y))

@@ -65,14 +65,15 @@ class SocketVoiceServer:
                  port: int = 0, num_streams: int = 8,
                  realtime_factor: float = 0.0, use_sr: bool = True,
                  use_neural_vocoder: bool = False, ring_seconds: float = 8.0,
-                 seed: int = 0, sock_sndbuf: int | None = None):
+                 seed: int = 0, sock_sndbuf: int | None = None,
+                 vocoder_mode: str | None = None):
         self._cfg = cfg
         self._sndbuf = sock_sndbuf    # bound kernel memory per client; small
         #                               values surface ring backpressure fast
         self._server = BatchedServer(params, cfg, num_streams=num_streams,
                                      use_sr=use_sr,
                                      use_neural_vocoder=use_neural_vocoder,
-                                     seed=seed)
+                                     seed=seed, vocoder_mode=vocoder_mode)
         self._S = self._server.chunk_samples            # input chunk
         self._So = self._server.chunk_out_samples       # output chunk
         self._n_drain = -(-self._server.latency_samples // self._So) + 1

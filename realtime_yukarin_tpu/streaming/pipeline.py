@@ -20,8 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from realtime_yukarin_tpu.config import Config
-from realtime_yukarin_tpu.dsp.f0 import estimate_f0_raw
+from realtime_yukarin_tpu.config import Config, resolve_vocoder_mode
+from realtime_yukarin_tpu.dsp.f0 import estimate_f0_raw, octave_snap
 from realtime_yukarin_tpu.dsp.framing import median3
 from realtime_yukarin_tpu.dsp.synthesis import render, synthesize
 from realtime_yukarin_tpu.dsp.world import (AcousticFeature,
@@ -30,6 +30,7 @@ from realtime_yukarin_tpu.dsp.mcep import decode_mcep
 from realtime_yukarin_tpu.models.acoustic import convert_mc_streamed
 from realtime_yukarin_tpu.models.super_resolution import refine_envelope
 from realtime_yukarin_tpu.models.vocoder_nn import neural_vocoder_controls
+from realtime_yukarin_tpu.models.vocoder_wave import waveform_vocode
 from realtime_yukarin_tpu.models.voice_changer import (compute_dtype,
                                                        convert_f0_stats)
 from realtime_yukarin_tpu.dsp.resample import resample_chunk
@@ -54,35 +55,46 @@ def frame_noise(key: jax.Array, start_frame, count: int, bins: int
                 ) -> jnp.ndarray:
     """Noise for global frames [start, start+count) -> [count, bins, 2].
 
-    Position-deterministic: frame i's gaussians are row
-    (i + stream_offset) mod T of a fixed precomputed table, so streamed
-    and offline synthesis see identical noise regardless of chunking.
-    ``stream_offset`` derives from ``key``, decorrelating concurrent
-    streams.  The table (an XLA constant, ~8 MB) replaces online
-    counter-based RNG: generating the ~3M gaussians a 128-stream step
-    needs cost ~20 ms/step in XLA threefry/rbg — ~70%% of the whole
-    pipeline — whereas this gather is bandwidth-noise; white noise
-    re-used with a 20 s period under time-varying spectral shaping is
-    perceptually fresh.
+    Position-deterministic: frame i's gaussians are a fixed function of
+    the global frame index, so streamed and offline synthesis see
+    identical noise regardless of chunking.  The table (an XLA constant,
+    ~8 MB) replaces online counter-based RNG: generating the ~3M
+    gaussians a 128-stream step needs cost ~20 ms/step in XLA
+    threefry/rbg — ~70%% of the whole pipeline — whereas this gather is
+    bandwidth-noise.
+
+    Periodicity: rows are read through a per-stream odd-stride
+    permutation whose phase ALSO advances by an odd shift every table
+    wrap, so the driver sequence repeats only after T^2 frames (~23 h at
+    5 ms frames), not T (~20 s).  Without the per-wrap shift, a long
+    STATIONARY unvoiced segment repeats exactly at the table period
+    (measured autocorrelation 0.9998 at lag T*hop; with it: ~0 — gated
+    by tests/test_soak.py::test_noise_table_no_periodicity).
+    ``offset``/``stride``/``shift`` derive from ``key``, decorrelating
+    concurrent streams ((offset, stride) collisions ~1e-3 at 128
+    streams).
     """
     T = NOISE_TABLE_FRAMES
     table = jnp.asarray(_noise_table_np(bins))
-    bits = jax.random.bits(key, (2,), jnp.uint32)
+    bits = jax.random.bits(key, (3,), jnp.uint32)
     offset = (bits[0] % T).astype(jnp.int32)
-    # per-stream ODD stride: T is a power of two, so every odd stride is a
-    # full-cycle permutation of the table.  (offset, stride) collisions
-    # between streams are ~1e-3 at 128 streams vs ~0.9 for offset alone.
+    # ODD stride/shift: T is a power of two, so odd multipliers are
+    # full-cycle permutations and odd shifts never alias block phases
     stride = ((bits[1] % (T // 2)) * 2 + 1).astype(jnp.int32)
-    pos = jnp.mod(jnp.asarray(start_frame, jnp.int32)
-                  + jnp.arange(count, dtype=jnp.int32), T)
-    idx = jnp.mod(pos * stride + offset, T)   # pos pre-reduced: no overflow
+    shift = ((bits[2] % (T // 2)) * 2 + 1).astype(jnp.int32)
+    gpos = jnp.asarray(start_frame, jnp.int32) + jnp.arange(
+        count, dtype=jnp.int32)
+    pos = jnp.mod(gpos, T)
+    block = jnp.mod(gpos // T, T)             # pre-reduced: no overflow
+    idx = jnp.mod(pos * stride + offset + block * shift, T)
     return table[idx]
 
 
 def streaming_step_impl(params: dict, carry: StreamCarry,
                         chunk: jnp.ndarray, key: jax.Array, cfg: Config,
                         use_sr: bool = True,
-                        use_neural_vocoder: bool = False
+                        use_neural_vocoder: bool = False,
+                        vocoder_mode: str | None = None
                         ) -> tuple[jnp.ndarray, StreamCarry]:
     """One chunk in, one chunk out (constant D-frame latency).
 
@@ -93,7 +105,8 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     rate, the polyphase resamplers run here inside the same fused program
     (one extra matmul per edge).
     """
-    geo = StreamGeometry.from_config(cfg, use_sr, use_neural_vocoder)
+    mode = resolve_vocoder_mode(use_neural_vocoder, vocoder_mode)
+    geo = StreamGeometry.from_config(cfg, use_sr, vocoder_mode=mode)
     hop = cfg.dsp.hop
     Fc = geo.chunk_frames
     mctx = geo.model_ctx
@@ -106,20 +119,36 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     # 1. roll the wave buffer and append the new chunk
     buf = jnp.concatenate([carry.wave_buf[geo.chunk_samples:], chunk])
 
-    # 2. analyze ONLY the fresh frames (Fc finals + the provisional window
-    # edge); the leading cache_frames come from the carry — analysis is
-    # frame-local, so cached values are bit-identical to a recompute
+    # 2. analyze ONLY the newly-final frames; the leading cache_frames
+    # come from the carry — analysis is frame-local given F0, so cached
+    # values are bit-identical to a recompute.  Raw F0 is additionally
+    # estimated for the E = f0_edge trailing frames (still provisional:
+    # their median/octave-snap need future neighbors; re-estimated next
+    # step), and the E raws BEFORE the fresh range come from the carry.
     C = geo.cache_frames
-    fresh = geo.fresh_frames
+    E = geo.f0_edge
+    fresh = geo.fresh_frames                     # Fc + E raw frames
     off = geo.buf_frame0_offset + C * hop
     raw_fresh = estimate_f0_raw(buf, fresh, cfg.dsp, off)
-    # median needs the cached left neighbor; the last fresh frame's median
-    # is edge-replicated exactly like a full-window recompute
-    raw_ext = jnp.concatenate([carry.f0_raw_prev[None], raw_fresh])
-    f0_fresh = median3(raw_ext)[1:]
-    ffresh = analyze_given_f0(buf, f0_fresh, fresh, cfg.dsp, off)
+    raw_ext = jnp.concatenate([carry.f0_raw_prev, raw_fresh])
+    # median for frames [C-E, Fn); interior values (all we consume) are
+    # exact, edge replicas fall outside the consumed range
+    m_ext = median3(raw_ext)
+    # octave-snap for the Fc finals [C, Fn-E): each needs the median on
+    # [i-halo, i+halo], all interior of m_ext.  The snap helper zero-pads
+    # its input edges, so slice exactly halo margin on both sides and
+    # keep the middle Fc outputs (those windows are complete).
+    halo = cfg.dsp.f0_snap_halo
+    lo = E - halo                                # m_ext index of frame C-halo
+    snap_in = m_ext[lo: lo + Fc + 2 * halo]
+    f0_final = octave_snap(snap_in, cfg.dsp)[halo: halo + Fc]
+    # refine=True: the StoneMask-role refinement runs on the fresh
+    # frames' shared power spectrogram; frame-local given the snapped
+    # f0, so refined values cache exactly like every other feature
+    ffresh = analyze_given_f0(buf, f0_final, Fc, cfg.dsp, off,
+                              refine=True)
 
-    f0_all = jnp.concatenate([carry.f0_cache, f0_fresh])
+    f0_all = jnp.concatenate([carry.f0_cache, ffresh.f0])     # [Fn - E]
     mc_all = jnp.concatenate([carry.mc_cache, ffresh.mc])
     ap_all = jnp.concatenate([carry.ap_cache, ffresh.ap])
 
@@ -132,7 +161,8 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     # [c1+1, Fn-c1-1).  Bit-identical to the full-window forward
     # (tests/test_models.py::test_stage1_streamed_bit_exact); cuts stage-1
     # conv work from Fn to ~Fc frames per step.
-    ctx_v = cfg.vocoder_nn.context_frames if use_neural_vocoder else 0
+    ctx_v = {"ddsp": cfg.vocoder_nn.context_frames,
+             "wave": cfg.vocoder_wave.context_frames}.get(mode, 0)
     ctx_sr = cfg.super_resolution.context_frames if use_sr else 0
     c1 = cfg.acoustic.context_frames
     dtype = compute_dtype(cfg)
@@ -142,11 +172,11 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     s = mctx - ctx_v                      # first frame synthesis consumes
 
     res, stage1_acts = convert_mc_streamed(
-        params["stage1"], mc_all[Fn - 1 - Fc: Fn - 1],
-        f0_all[Fn - 1 - Fc: Fn - 1], carry.stage1_acts, cfg.acoustic, dtype)
-    mc_c_fresh = mc_all[Fn - 1 - c1 - Fc: Fn - 1 - c1] + res
+        params["stage1"], mc_all[Fn - E - Fc: Fn - E],
+        f0_all[Fn - E - Fc: Fn - E], carry.stage1_acts, cfg.acoustic, dtype)
+    mc_c_fresh = mc_all[Fn - E - c1 - Fc: Fn - E - c1] + res
     mc_c_need = jnp.concatenate([carry.mc_c_cache, mc_c_fresh])
-    f0c_need = convert_f0_stats(f0_all[c1 + 1: Fn - c1 - 1],
+    f0c_need = convert_f0_stats(f0_all[c1 + E: Fn - c1 - E],
                                 params["f0_stats"])
     env_low = decode_mcep(mc_c_need, cfg.dsp)
     if use_sr:
@@ -163,7 +193,7 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     # 4. synthesize Fc frames with position-deterministic noise
     out_frame0 = carry.frame_pos
     noise = frame_noise(key, out_frame0, Fc, noise_bins(cfg))
-    if use_neural_vocoder:
+    if mode == "ddsp":
         amps, nmag, f0f, voiced = neural_vocoder_controls(
             params["vocoder"], conv.f0, conv.env, conv.ap, conv.mc,
             cfg.vocoder_nn, cfg.dsp, dtype=compute_dtype(cfg))
@@ -171,6 +201,11 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
             amps[ctx_v: ctx_v + L], nmag[ctx_v: ctx_v + L - 1],
             f0f[ctx_v: ctx_v + L], voiced[ctx_v: ctx_v + L],
             noise, cfg.dsp, carry.synth)
+    elif mode == "wave":
+        out, synth_carry = waveform_vocode(
+            params["vocoder_wave"], conv.f0, conv.env, conv.ap, conv.mc,
+            noise, cfg.vocoder_wave, cfg.dsp, carry.synth, out_ctx=ctx_v,
+            dtype=compute_dtype(cfg))
     else:
         out, synth_carry = synthesize(conv.f0, conv.env, conv.ap, noise,
                                       cfg.dsp, carry.synth)
@@ -184,23 +219,26 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
         mc_c_cache=mc_c_need[Fc:], stage1_acts=stage1_acts,
         rs_in=rs_in, rs_out=rs_out,
         # next step's window is this one shifted by Fc: cache frames
-        # [Fc, Fn-1) (the window-edge frame Fn-1 has a provisional median
-        # and is re-analyzed next step); the median neighbor raw is frame
-        # Fn-2 = fresh[-2]
-        f0_cache=f0_all[Fc: Fn - 1],
-        mc_cache=mc_all[Fc: Fn - 1],
-        ap_cache=ap_all[Fc: Fn - 1],
-        f0_raw_prev=raw_fresh[fresh - 2])
+        # [Fc, Fn-E) (the E trailing frames have provisional median/snap
+        # and are re-estimated next step); the raw cache holds the E
+        # frames preceding the next fresh range, [Fn-2E, Fn-E)
+        f0_cache=f0_all[Fc:],
+        mc_cache=mc_all[Fc:],
+        ap_cache=ap_all[Fc:],
+        f0_raw_prev=raw_fresh[Fc - E: Fc])
     return out, new_carry
 
 
 streaming_step = functools.partial(
-    jax.jit, static_argnames=("cfg", "use_sr", "use_neural_vocoder"),
+    jax.jit, static_argnames=("cfg", "use_sr", "use_neural_vocoder",
+                              "vocoder_mode"),
     donate_argnames=("carry",))(streaming_step_impl)
 
 
 def init_stream(params: dict, cfg: Config, use_sr: bool = True,
-                use_neural_vocoder: bool = False
+                use_neural_vocoder: bool = False,
+                vocoder_mode: str | None = None
                 ) -> tuple[StreamCarry, StreamGeometry]:
-    geo = StreamGeometry.from_config(cfg, use_sr, use_neural_vocoder)
-    return StreamCarry.init(cfg, geo, params), geo
+    mode = resolve_vocoder_mode(use_neural_vocoder, vocoder_mode)
+    geo = StreamGeometry.from_config(cfg, use_sr, vocoder_mode=mode)
+    return StreamCarry.init(cfg, geo, params, vocoder_mode=mode), geo

@@ -79,18 +79,25 @@ class StreamGeometry:
     in_delay: int            # input-resampler delay (internal samples)
     out_delay: int           # output-resampler delay (output-rate samples)
     stage1_ctx: int          # stage-1 one-sided receptive field (frames)
+    f0_edge: int             # trailing provisional-F0 frames (median+snap)
 
     @classmethod
     def from_config(cls, cfg: Config, use_sr: bool = True,
-                    use_neural_vocoder: bool = False) -> "StreamGeometry":
+                    use_neural_vocoder: bool = False,
+                    vocoder_mode: str | None = None) -> "StreamGeometry":
+        from realtime_yukarin_tpu.config import resolve_vocoder_mode
+        mode = resolve_vocoder_mode(use_neural_vocoder, vocoder_mode)
         dsp = cfg.dsp
         hop = dsp.hop
         Fc = cfg.streaming.chunk_frames(dsp)
-        mctx = cfg.acoustic.context_frames + 1     # +1: f0 median3 edge
+        E = dsp.f0_edge_frames                     # median3 + octave-snap
+        mctx = cfg.acoustic.context_frames + E
         if use_sr:
             mctx += cfg.super_resolution.context_frames
-        if use_neural_vocoder:
+        if mode == "ddsp":
             mctx += cfg.vocoder_nn.context_frames
+        elif mode == "wave":
+            mctx += cfg.vocoder_wave.context_frames
         AH = max(dsp.fft_size // 2, (dsp.f0_frame_len + 1) // 2)
         ah_frames = -(-AH // hop)                   # ceil
         D = mctx + ah_frames
@@ -104,7 +111,8 @@ class StreamGeometry:
                    analysis_half=AH, delay_frames=D, analysis_frames=Fn,
                    buf_samples=L_buf, buf_frame0_offset=AH,
                    in_delay=p_in.delay_out, out_delay=p_out.delay_out,
-                   stage1_ctx=cfg.acoustic.context_frames)
+                   stage1_ctx=cfg.acoustic.context_frames,
+                   f0_edge=E)
 
     def latency_samples(self, hop: int) -> int:
         """Algorithmic latency in INTERNAL-rate samples (pipeline + the
@@ -122,23 +130,27 @@ class StreamGeometry:
     @property
     def cache_frames(self) -> int:
         """Leading analysis frames reused from the previous step (their
-        windows and medians were already final then): Fn - Fc - 1."""
-        return self.analysis_frames - self.chunk_frames - 1
+        windows / medians / octave-snaps were already final then):
+        Fn - Fc - E."""
+        return self.analysis_frames - self.chunk_frames - self.f0_edge
 
     @property
     def stage1_cache_frames(self) -> int:
         """Stage-1 OUTPUT frames carried across steps.  Per step the
-        pipeline needs converted mc on window frames [c1+1, Fn-c1-1)
-        (c1 = stage-1 context): the SR/vocoder ranges plus their halos.
-        Only the trailing Fc of those are newly computable (inputs final up
-        to frame Fn-2); the leading 2*(mctx-c1-1)+1 come from this cache."""
-        return 2 * (self.model_ctx - self.stage1_ctx - 1) + 1
+        pipeline needs converted mc on window frames [c1+E, Fn-c1-E)
+        (c1 = stage-1 context, E = f0_edge): the SR/vocoder ranges plus
+        their halos.  Only the trailing Fc of those are newly computable
+        (inputs final up to frame Fn-E); the leading
+        2*(mctx-c1-E)+1 come from this cache."""
+        return 2 * (self.model_ctx - self.stage1_ctx - self.f0_edge) + 1
 
     @property
     def fresh_frames(self) -> int:
-        """Frames analyzed per step: the Fc new finals + the window-edge
-        frame whose median is still provisional (re-analyzed next step)."""
-        return self.chunk_frames + 1
+        """Frames whose RAW F0 is estimated per step: the Fc new finals
+        + the E trailing frames whose median/snap is still provisional
+        (re-estimated next step).  Full feature analysis runs only on
+        the Fc finals."""
+        return self.chunk_frames + self.f0_edge
 
 
 class StreamCarry(flax.struct.PyTreeNode):
@@ -153,12 +165,12 @@ class StreamCarry(flax.struct.PyTreeNode):
     (the 3-tap median needs that neighbor for the first fresh frame)."""
 
     wave_buf: jnp.ndarray      # [buf_samples] rolling input window
-    synth: SynthCarry          # synthesizer phase + OLA tail
+    synth: SynthCarry          # synthesizer state (WaveCarry in wave mode)
     frame_pos: jnp.ndarray     # [] int32: global index of next output frame
-    f0_cache: jnp.ndarray      # [C] final median F0 per cached frame
+    f0_cache: jnp.ndarray      # [C] final (snapped+refined) F0 per frame
     mc_cache: jnp.ndarray      # [C, M+1] mel-cepstra of cached frames
     ap_cache: jnp.ndarray      # [C, B] band aperiodicity of cached frames
-    f0_raw_prev: jnp.ndarray   # [] raw F0 of the last cached frame
+    f0_raw_prev: jnp.ndarray   # [E] raw F0 of the E frames before fresh
     mc_c_cache: jnp.ndarray    # [Cs, M+1] stage-1 OUTPUTS carried over
     stage1_acts: tuple         # per-block [k-1, hidden] activation tails
     rs_in: jnp.ndarray | None = None   # input-resampler history (client rate)
@@ -166,7 +178,8 @@ class StreamCarry(flax.struct.PyTreeNode):
 
     @classmethod
     def init(cls, cfg: Config, geo: StreamGeometry, params: dict,
-             dtype=jnp.float32) -> "StreamCarry":
+             dtype=jnp.float32, vocoder_mode: str = "dsp") -> "StreamCarry":
+        from realtime_yukarin_tpu.dsp.synthesis import WaveCarry
         from realtime_yukarin_tpu.models.acoustic import stage1_cache_init
         from realtime_yukarin_tpu.models.voice_changer import compute_dtype
 
@@ -175,14 +188,16 @@ class StreamCarry(flax.struct.PyTreeNode):
             params["stage1"], jnp.asarray(mc_sil[0], dtype),
             jnp.asarray(f0_sil[0], dtype), cfg.acoustic, compute_dtype(cfg))
         mc_c_row = jnp.asarray(mc_sil[0], dtype) + res_row
+        synth0 = (WaveCarry.zeros(cfg.dsp, dtype) if vocoder_mode == "wave"
+                  else SynthCarry.zeros(cfg.dsp, dtype))
         return cls(
             wave_buf=jnp.zeros((geo.buf_samples,), dtype),
-            synth=SynthCarry.zeros(cfg.dsp, dtype),
+            synth=synth0,
             frame_pos=jnp.asarray(-geo.delay_frames, jnp.int32),
             f0_cache=jnp.asarray(f0_sil, dtype),
             mc_cache=jnp.asarray(mc_sil, dtype),
             ap_cache=jnp.asarray(ap_sil, dtype),
-            f0_raw_prev=jnp.zeros((), dtype),
+            f0_raw_prev=jnp.zeros((geo.f0_edge,), dtype),
             mc_c_cache=jnp.tile(mc_c_row[None],
                                 (geo.stage1_cache_frames, 1)),
             stage1_acts=acts,

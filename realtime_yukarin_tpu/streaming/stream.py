@@ -29,14 +29,16 @@ class VoiceChangerStream:
 
     def __init__(self, params: dict, cfg: Config, use_sr: bool = True,
                  use_neural_vocoder: bool = False, seed: int = 0,
-                 key: jax.Array | None = None):
+                 key: jax.Array | None = None,
+                 vocoder_mode: str | None = None):
+        from realtime_yukarin_tpu.config import resolve_vocoder_mode
         self._params = params
         self._cfg = cfg
         self._use_sr = use_sr
-        self._use_nn = use_neural_vocoder
+        self._mode = resolve_vocoder_mode(use_neural_vocoder, vocoder_mode)
         self._key = key if key is not None else jax.random.key(seed)
         self._carry, self._geo = init_stream(params, cfg, use_sr,
-                                             use_neural_vocoder)
+                                             vocoder_mode=self._mode)
         self._in = SegmentBuffer()
         self._in_pos = 0          # next input sample to consume
         self._written = 0         # total input samples added
@@ -73,7 +75,7 @@ class VoiceChangerStream:
             self._in_pos += S
             y, self._carry = streaming_step(
                 self._params, self._carry, jnp.asarray(chunk), self._key,
-                self._cfg, self._use_sr, self._use_nn)
+                self._cfg, self._use_sr, vocoder_mode=self._mode)
             out.append(np.asarray(y))
         if not out:
             return np.zeros(0, np.float32)

@@ -25,6 +25,7 @@ from realtime_yukarin_tpu.dsp.synthesis import render
 from realtime_yukarin_tpu.models.acoustic import convert_mc
 from realtime_yukarin_tpu.models.super_resolution import refine_envelope
 from realtime_yukarin_tpu.models.vocoder_nn import neural_vocoder_controls
+from realtime_yukarin_tpu.models.vocoder_wave import waveform_vocode
 from realtime_yukarin_tpu.parallel.mesh import (model_shard_params,
                                                 shard_batch_pytree)
 from realtime_yukarin_tpu.training import losses
@@ -80,8 +81,20 @@ def loss_fn(params: dict, batch: Batch, cfg: Config) -> tuple[jnp.ndarray,
                                      mc_pred, batch.noise)
     l_stft = losses.multi_resolution_stft(wave_pred, batch.wave_tgt)
 
-    total = l_mc + l_env + 0.5 * l_stft
-    return total, {"loss": total, "mc": l_mc, "env": l_env, "stft": l_stft}
+    # wave decoder (the "wave" mode, BASELINE config #4): render through
+    # the DSP path + learned iSTFT residual and match the target waveform
+    def wave_one(f0, env, ap, mc, noise):
+        wave, _ = waveform_vocode(params["vocoder_wave"], f0, env, ap, mc,
+                                  noise, cfg.vocoder_wave, cfg.dsp)
+        return wave
+
+    wave_pred2 = jax.vmap(wave_one)(batch.f0_tgt, env_pred, batch.ap_src,
+                                    mc_pred, batch.noise)
+    l_wave = losses.multi_resolution_stft(wave_pred2, batch.wave_tgt)
+
+    total = l_mc + l_env + 0.5 * l_stft + 0.5 * l_wave
+    return total, {"loss": total, "mc": l_mc, "env": l_env, "stft": l_stft,
+                   "wave": l_wave}
 
 
 def make_train_step(cfg: Config, optimizer=None):

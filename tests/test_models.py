@@ -166,6 +166,15 @@ def test_params_npz_roundtrip_and_strictness(cfg, tmp_path):
     np.savez(str(tmp_path / "shape.npz"), **bad)
     with pytest.raises(ValueError, match="shape mismatch"):
         load_params(params, str(tmp_path / "shape.npz"))
+    # the historical fft_size 1024->1022 break (513 vs 512 spec bins)
+    # must be named in the error (ADVICE r2)
+    bad = dict(flat_d)
+    k513 = next(n for n in bad if 512 in bad[n].shape)
+    bad[k513] = np.zeros([513 if d == 512 else d
+                          for d in bad[k513].shape], bad[k513].dtype)
+    np.savez(str(tmp_path / "bins.npz"), **bad)
+    with pytest.raises(ValueError, match="fft_size"):
+        load_params(params, str(tmp_path / "bins.npz"))
 
 
 def test_load_all_params_config_paths(cfg, tmp_path):
@@ -218,7 +227,8 @@ def test_config_geometry_is_consumed(cfg):
     g_half = StreamGeometry.from_config(half)
     assert g_half.chunk_samples * 2 == g_full.chunk_samples
     assert g_full.model_ctx == (cfg.acoustic.context_frames
-                                + cfg.super_resolution.context_frames + 1)
+                                + cfg.super_resolution.context_frames
+                                + cfg.dsp.f0_edge_frames)
     # no dead halo knob survives in the config
     assert not hasattr(cfg.streaming, "extra_ms")
 

