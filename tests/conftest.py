@@ -21,6 +21,15 @@ import jax  # noqa: E402
 # which case the env var above came too late — update the live config too.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache (keys include platform, so CPU test binaries
+# coexist with the bench's TPU ones): cuts repeat-suite wall time — much
+# of the 19-minute run is XLA compilation of the same fixed shapes.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
