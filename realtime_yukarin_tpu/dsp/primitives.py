@@ -42,11 +42,6 @@ def hann(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _cached(fn_name: str, key: tuple):
-    raise KeyError  # placeholder, real caching via per-function lru_cache
-
-
-@functools.lru_cache(maxsize=None)
 def f0_decim_filter(decim: int, half_width: int, rolloff: float = 0.9,
                     beta: float = 8.0) -> np.ndarray:
     """Anti-alias FIR for the F0 stage's decimation (WORLD's Dio

@@ -201,7 +201,8 @@ def harmonic_bank(amps_l: jnp.ndarray, amps_r: jnp.ndarray,
     amps_l/amps_r: [R, H] harmonic amplitudes at the frame's left/right
     edge; phi: [R, hop] per-sample fundamental phase; frac: [R, hop]
     interpolation weight in (0, 1].  Returns [R, hop].  Differentiable
-    (custom VJP via the einsum reference).
+    (custom VJP running the Pallas backward kernel above; the einsum
+    reference exists only for parity tests).
     """
     return _harmonic_bank_diff(interpret, amps_l, amps_r, phi, frac)
 

@@ -89,12 +89,16 @@ def main() -> None:
 
     def no_refine(wave, f0, F, dcfg, off, refine=False):
         return orig(wave, f0, F, dcfg, off, refine=False)
-    world_mod.analyze_given_f0 = no_refine
     import realtime_yukarin_tpu.streaming.pipeline as pl_mod
-    pl_mod.analyze_given_f0 = no_refine
-    add_step_variant("step_norefine", cfg)
-    world_mod.analyze_given_f0 = orig
-    pl_mod.analyze_given_f0 = orig
+    try:
+        world_mod.analyze_given_f0 = no_refine
+        pl_mod.analyze_given_f0 = no_refine
+        add_step_variant("step_norefine", cfg)
+    finally:
+        # always restore — a compile/OOM failure must not leave later
+        # variants in this process silently benching refine=False
+        world_mod.analyze_given_f0 = orig
+        pl_mod.analyze_given_f0 = orig
 
     import dataclasses
     cfg_nosnap = dataclasses.replace(

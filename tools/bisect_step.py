@@ -3,8 +3,7 @@ docs/PERF.md: wall-clock through the tunnel lies — every decisive number
 comes from a jitted lax.fori_loop with one host fetch at the end).
 
 Usage:  python tools/bisect_step.py [stage ...]
-Stages: step f0raw refine analyze power env ap stage1 sr controls render
-        decode (default: step)
+Stages: step f0raw power refine env ap analyze (default: step)
 """
 
 from __future__ import annotations
@@ -56,8 +55,15 @@ def time_loop(fn, *args, loop=LOOP):
     return float(np.median(ts))
 
 
+KNOWN_STAGES = ("step", "f0raw", "power", "refine", "env", "ap",
+                "analyze")
+
+
 def main() -> None:
     stages = sys.argv[1:] or ["step"]
+    unknown = [s for s in stages if s not in KNOWN_STAGES]
+    if unknown:
+        sys.exit(f"unknown stage(s) {unknown}; known: {list(KNOWN_STAGES)}")
     cfg = Config()
     params = init_params(jax.random.key(0), cfg)
     dsp = cfg.dsp
@@ -99,7 +105,7 @@ def main() -> None:
     buf = jnp.asarray(rng.standard_normal((B, geo.buf_samples)), jnp.float32)
     off = geo.buf_frame0_offset + geo.cache_frames * dsp.hop
 
-    from realtime_yukarin_tpu.dsp.f0 import (estimate_f0_raw, octave_snap,
+    from realtime_yukarin_tpu.dsp.f0 import (estimate_f0_raw,
                                              refine_f0_from_power)
     from realtime_yukarin_tpu.dsp.framing import median3
     from realtime_yukarin_tpu.dsp.envelope import (log_envelope_and_mcep,
