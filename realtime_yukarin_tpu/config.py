@@ -103,15 +103,76 @@ class DspConfig:
     # weak-fundamental signal keeps measurable odd energy and fails the
     # test (the weakfund fixture sits at ~0.965).
     octave_up_margin: float = 0.01
-    # Octave-continuity snap (the role of Harvest's candidate voting /
-    # contour selection, upstream:mmorise/World src/harvest.cpp): after
-    # the 3-tap median, each voiced frame may be shifted by +-1 octave
-    # toward the log-domain median of its +-f0_snap_halo voiced
-    # neighborhood — fixing short runs (<= halo) of octave errors that a
-    # 3-tap median cannot.  Costs ``f0_snap_halo`` extra frames of
-    # algorithmic lookahead in streaming (at 5 ms frames: 15 ms).
-    # 0 disables the snap (the low-latency profile).
+    # Candidate-lattice contour selection (the role of Harvest's
+    # candidate voting / contour DP, upstream:mmorise/World
+    # src/harvest.cpp): after the 3-tap median, each voiced frame is
+    # re-decided by a bounded Viterbi over the frame's top-K CMND dip
+    # candidates within its +-f0_snap_halo window (dsp/f0.py:
+    # viterbi_snap) — emission = dip depth + octave_margin per octave of
+    # lag (the same smaller-lag preference the octave-down verification
+    # encodes), transition = f0_trans_weight per octave of frame-to-
+    # frame jump.  Fixes short runs (<= halo) of octave/diplophonia
+    # errors that a 3-tap median cannot.  Costs ``f0_snap_halo`` extra
+    # frames of algorithmic lookahead in streaming (at 5 ms frames:
+    # 15 ms).  0 disables the snap (the low-latency profile).
     f0_snap_halo: int = 3
+    # Top-K CMND dips kept per frame for the lattice (fixed shape).
+    f0_cand_k: int = 4
+    # RELATIVE per-octave lag penalty on lattice emissions: candidate
+    # cost = dip * (1+f0_rel_bias)^octaves_above_lag_min (+ the additive
+    # octave_margin term).  This is the weak-fundamental vs diplophonia
+    # separator: a true half-chosen period (weakfund) explains ~all the
+    # residual (dip -> ~0), so even x1.5 inflation keeps it far below
+    # the half-period dip; genuine-but-weak period doubling leaves the
+    # doubled dip only marginally deeper (x0.8-0.95 of the true one),
+    # so the relative penalty keeps the contour on the perceptual F0.
+    # An ABSOLUTE margin cannot do both (measured on the weakfund and
+    # seed-3 formant fixtures; see tests/test_dsp_golden.py).
+    f0_rel_bias: float = 0.4
+    # Per-frame cap on lattice emissions: bounds any single frame's vote
+    # in the window DP, so a couple of confidently-wrong frames (half-
+    # empty onset windows locking onto a dominant harmonic) cannot
+    # outvote several weakly-right clean frames.
+    f0_emis_cap: float = 0.05
+    # --- full-rate voicing revision (the role of D4C's LoveTrain band
+    # evidence, upstream:mmorise/World src/d4c.cpp): after the lattice
+    # snap, per-frame and frame-local (streaming stays exact):
+    # DEMOTE a voiced frame when the minimum sub-block energy across its
+    # fft window falls below this fraction of the mean sub-block energy —
+    # i.e. part of the window is silent, so the frame is not confidently
+    # voiced (silence-adjacent boundary frames whose wide window leaks
+    # periodicity).  Voiced speech never dips this low: between glottal
+    # pulses the formant ringing keeps sub-5 ms blocks within ~x30 of
+    # the mean (measured on the formant fixture: min ratio 2e-2 voiced
+    # vs < 1e-4 for boundary frames).
+    voicing_block_ratio: float = 0.003
+    voicing_blocks: int = 8
+    # RESCUE a CMND-unvoiced frame when its lattice candidate shows high
+    # LOW-BAND periodicity (breathy/jittery voicing keeps a periodic
+    # low band while high-band turbulence drags the full-band CMND above
+    # the voicing threshold) and the low band carries a meaningful share
+    # of the frame energy (excludes fricatives).
+    voicing_rescue_plow: float = 0.8
+    voicing_low_band_hz: float = 1000.0
+    voicing_low_frac: float = 0.1
+
+    @property
+    def voicing_energy_win(self) -> int:
+        """Samples of the block-energy confidence window: one hop wider
+        than the fft window PER SIDE, so a silence boundary just outside
+        the spectral window (which still leaks into the label's
+        confidence region) fills at least one sub-block.  Widest window
+        in the analysis chain — streaming geometry sizes its halo by it
+        (costs one extra frame of algorithmic lookahead)."""
+        return self.fft_size + 2 * self.hop
+    # Viterbi path cost per octave of frame-to-frame log-f0 movement.
+    # Sized against CMND depth differences: a 1-octave jump must buy at
+    # least this much total dip-depth advantage over the window to win
+    # (real vibrato moves ~0.05 oct/frame = 0.03 cost; a diplophonia
+    # episode's doubled-period dips are ~0.1-0.2 deeper per frame, so
+    # entering+leaving costs ~1.2 and brief episodes stay on the true
+    # contour — tests/test_dsp_golden.py seed-3 formant gate).
+    f0_trans_weight: float = 0.6
     # --- envelope (CheapTrick-equivalent: fixed window + f0-adaptive lifter)
     # relative floor: per-frame power is clamped to peak * 10^(db/10).
     # Keeping the log dynamic range modest makes the envelope robust to

@@ -103,61 +103,237 @@ def cmnd(d: jnp.ndarray) -> jnp.ndarray:
 def estimate_f0(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
                 center_offset: int = 0) -> jnp.ndarray:
     """[T] -> f0 [F] in Hz (0 = unvoiced). Matches the golden estimator
-    (decimated CMND search + median + full-rate refinement).
+    (decimated CMND search + median + candidate-lattice Viterbi +
+    full-rate refinement).
 
     Under jit the power spectrogram here CSEs with the envelope stage's
     (identical subexpression), so the refinement costs only the cosine
-    contractions."""
+    contractions; likewise the candidate extraction CSEs with the raw
+    estimate's CMND."""
     from realtime_yukarin_tpu.dsp.envelope import power_spectrogram
     f0 = median3(estimate_f0_raw(x, num_frames, cfg, center_offset))
-    f0 = octave_snap(f0, cfg)
+    cand_f0, cand_cost = f0_candidates(x, num_frames, cfg, center_offset)
+    f0, choice = viterbi_snap(f0, cand_f0, cand_cost, cfg)
+    f0 = voicing_revision(x, f0, choice, num_frames, cfg, center_offset)
     P = power_spectrogram(x, num_frames, cfg, center_offset)
     return refine_f0_from_power(P, f0, cfg)
 
 
-def octave_snap(f0: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
-    """Octave-continuity snap (Harvest contour-selection role; see
-    DspConfig.f0_snap_halo): each voiced frame moves +-1 octave toward
-    the log-domain lower median of its +-halo voiced neighborhood.
+# Finite "infinity" for masked min-plus DP (inf - inf = nan; a finite
+# sentinel keeps every where/min well-defined in float32).
+_BIG = 1.0e6
 
-    Vectorized with fixed shapes: the neighborhood stack is built from a
-    zero-padded copy (zeros = unvoiced = masked out, which exactly
-    reproduces the golden model's truncated edge windows), the masked
-    lower median is a sort + one-hot pick, and the candidate choice is a
-    three-way where-chain with the golden's (orig, half, double)
-    tie-break order.  Matches ``golden.reference.octave_snap``."""
+
+def f0_candidates(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
+                  center_offset: int = 0
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-K CMND dip candidates per frame (the Harvest candidate-lattice
+    role, upstream:mmorise/World src/harvest.cpp GetF0Candidates).
+
+    Returns (cand_f0 [F, K] in Hz with 0 = invalid slot, emis [F, K]
+    Viterbi emission costs).  Candidates are the K deepest local minima
+    of the CMND curve in [lag_min_d, lag_max_d], parabolic-refined
+    exactly like the raw estimate.  Emission construction:
+
+      cost_k = dip_k * (1+f0_rel_bias)^oct_k + octave_margin * oct_k
+      emis_k = (cost_k - min_k cost_k) * reliability
+
+    with oct_k = log2(lag_k / lag_min) and reliability = clip(1 -
+    min_k dip_k / voicing_threshold, 0, 1).  The RELATIVE per-octave
+    penalty separates weak-fundamental from diplophonia (see
+    DspConfig.f0_rel_bias); the reliability weight keeps strongly-
+    aperiodic frames (onsets, breathy edges) from outvoting clean
+    neighbors in the window DP; relative-to-best costs make emissions
+    comparable across frames.  Frame-local; under jit the CMND front
+    half CSEs with ``estimate_f0_raw``'s, so the lattice costs only the
+    top-K picks.
+    """
+    K = cfg.f0_cand_k
+    W = cfg.f0_window_d
+    lmin, lmax = cfg.lag_min_d, cfg.lag_max_d
+    fs = float(cfg.f0_fs_d)
+    dp, e0 = _cmnd_and_energy(x, num_frames, cfg, center_offset)
+    F = dp.shape[0]
+
+    r = dp[:, lmin: lmax + 1]                                # [F, R]
+    R = r.shape[1]
+    prv = dp[:, lmin - 1: lmax]                              # lmin >= 2
+    nxt = jnp.concatenate([dp[:, lmin + 1: lmax + 1],
+                           jnp.full((F, 1), jnp.inf, r.dtype)], axis=1)
+    is_min = (r <= prv) & (r <= nxt)
+    vals = jnp.where(is_min, r, _BIG)
+    cols = jnp.arange(R)
+    cols_full = jnp.arange(dp.shape[1])
+    frame_ok = e0 / W >= prim.SILENCE_POWER
+
+    def pick_dp(t):
+        return jnp.sum(jnp.where(cols_full[None, :] == t[:, None], dp, 0.0),
+                       axis=1)
+
+    import math
+    gamma_exp = math.log2(1.0 + cfg.f0_rel_bias)
+    f0s, costs, dips = [], [], []
+    for _ in range(K):
+        ck = jnp.min(vals, axis=1)
+        ik = jnp.argmin(vals, axis=1)
+        vals = jnp.where(cols[None, :] == ik[:, None], _BIG, vals)
+        tau = ik + lmin
+        # parabolic refinement (identical math to the raw estimate)
+        dm1 = pick_dp(jnp.maximum(tau - 1, 0))
+        dp1 = pick_dp(jnp.minimum(tau + 1, lmax))
+        denom = dm1 - 2.0 * ck + dp1
+        delta = jnp.where(jnp.abs(denom) > 1e-12,
+                          0.5 * (dm1 - dp1) / jnp.where(denom == 0, 1.0,
+                                                        denom), 0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        interior = (tau > lmin) & (tau < lmax)
+        t_ref = tau.astype(dp.dtype) + jnp.where(interior, delta, 0.0)
+        f0_k = fs / t_ref
+        valid = ((ck < 0.5 * _BIG) & frame_ok
+                 & (f0_k >= cfg.f0_floor) & (f0_k <= cfg.f0_ceil))
+        oct_k = jnp.log2(tau.astype(dp.dtype) / float(lmin))
+        cost = (ck * jnp.exp2(gamma_exp * oct_k)
+                + cfg.octave_margin * oct_k)
+        f0s.append(jnp.where(valid, f0_k, 0.0))
+        costs.append(jnp.where(valid, cost, _BIG))
+        dips.append(jnp.where(valid, ck, _BIG))
+    cost = jnp.stack(costs, axis=1)                          # [F, K]
+    dip = jnp.stack(dips, axis=1)
+    m = jnp.min(cost, axis=1, keepdims=True)
+    dmin = jnp.min(dip, axis=1, keepdims=True)
+    r = jnp.clip(1.0 - dmin / cfg.voicing_threshold, 0.0, 1.0)
+    emis = jnp.where(cost >= 0.5 * _BIG, _BIG,
+                     jnp.minimum((cost - m) * r, cfg.f0_emis_cap))
+    return jnp.stack(f0s, axis=1), emis
+
+
+def viterbi_snap(f0: jnp.ndarray, cand_f0: jnp.ndarray,
+                 cand_cost: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
+    """Bounded-window Viterbi contour selection (Harvest contour-DP role;
+    see DspConfig.f0_snap_halo/f0_trans_weight): each voiced frame is
+    re-decided among its top-K CMND candidates by the minimum-cost path
+    through the +-halo window — emission = candidate cost, transition =
+    f0_trans_weight per octave of log-f0 jump between consecutive ACTIVE
+    frames (voiced frames with >= 1 valid candidate; others pass
+    through freely).  Per-frame windowed (NOT a whole-utterance DP), so
+    the decision for frame i depends only on frames [i-H, i+H]: the
+    streaming layer gets bit-exact streamed==offline with the same
+    bounded lookahead the median snap had.
+
+    Vectorized fixed-shape: neighborhood stacks [F, 2H+1, K], the two
+    half-passes unrolled (H steps each) as masked [F, K, K] min-plus
+    contractions.  Matches ``golden.reference.viterbi_snap``."""
+    F = f0.shape[0]
+    K = cand_f0.shape[1]
     H = cfg.f0_snap_halo
     if H == 0:
-        return f0
-    F = f0.shape[0]
-    W = 2 * H + 1
-    pad = jnp.concatenate([jnp.zeros(H, f0.dtype), f0,
-                           jnp.zeros(H, f0.dtype)])
-    nb = jnp.stack([pad[k: k + F] for k in range(W)], axis=1)   # [F, W]
-    valid = nb > 0
-    logs = jnp.where(valid, jnp.log(jnp.maximum(nb, 1e-6)), jnp.inf)
-    s = jnp.sort(logs, axis=1)
-    n = jnp.sum(valid, axis=1)
-    pick = jnp.maximum(n - 1, 0) // 2
-    cols = jnp.arange(W)
-    med = jnp.sum(jnp.where(cols[None, :] == pick[:, None], s, 0.0), axis=1)
+        # no window: the per-frame best candidate is still the rescue
+        # hypothesis for the voicing revision
+        k0 = jnp.argmin(cand_cost, axis=1)
+        ks0 = jnp.arange(K)
+        ch0 = jnp.sum(jnp.where(ks0[None, :] == k0[:, None], cand_f0, 0.0),
+                      axis=1)
+        return f0, ch0
+    Wn = 2 * H + 1
+    wt = jnp.asarray(cfg.f0_trans_weight, f0.dtype)
 
-    lf = jnp.log(jnp.maximum(f0, 1e-6))
-    ln2 = jnp.log(jnp.asarray(2.0, f0.dtype))
+    f0_p = jnp.concatenate([jnp.zeros(H, f0.dtype), f0,
+                            jnp.zeros(H, f0.dtype)])
+    cf_p = jnp.concatenate([jnp.zeros((H, K), cand_f0.dtype), cand_f0,
+                            jnp.zeros((H, K), cand_f0.dtype)])
+    cc_p = jnp.concatenate([jnp.full((H, K), _BIG, cand_cost.dtype),
+                            cand_cost,
+                            jnp.full((H, K), _BIG, cand_cost.dtype)])
+    nb_f = jnp.stack([cf_p[k: k + F] for k in range(Wn)], axis=1)
+    nb_c = jnp.stack([cc_p[k: k + F] for k in range(Wn)], axis=1)
+    nb_v = jnp.stack([f0_p[k: k + F] for k in range(Wn)], axis=1) > 0
+    act = nb_v & jnp.any(nb_f > 0, axis=2)                  # [F, Wn]
+    lf = jnp.log2(jnp.maximum(nb_f, 1e-6))                  # [F, Wn, K]
 
-    def dist(c, lc):
-        ok = (c >= cfg.f0_floor) & (c <= cfg.f0_ceil)
-        return jnp.where(ok, jnp.abs(lc - med), jnp.inf)
+    def half_pass(idxs):
+        """Min-plus message from the window edge into the center
+        (transition into the center included, center emission not)."""
+        msg = jnp.zeros((F, K), f0.dtype)
+        lfp = jnp.zeros((F, K), f0.dtype)
+        has = jnp.zeros((F,), bool)
+        for j in idxs:
+            a = act[:, j]
+            trans = wt * jnp.abs(lf[:, j][:, None, :] - lfp[:, :, None])
+            step = jnp.min(msg[:, :, None] + jnp.where(
+                has[:, None, None], trans, 0.0), axis=1)     # [F, K]
+            new = nb_c[:, j] + step
+            msg = jnp.where(a[:, None], new, msg)
+            lfp = jnp.where(a[:, None], lf[:, j], lfp)
+            has = has | a
+        tr = wt * jnp.abs(lf[:, H][:, None, :] - lfp[:, :, None])
+        return jnp.min(msg[:, :, None] + jnp.where(
+            has[:, None, None], tr, 0.0), axis=1)            # [F, K]
 
-    d_orig = dist(f0, lf)
-    d_half = dist(f0 / 2.0, lf - ln2)
-    d_dbl = dist(f0 * 2.0, lf + ln2)
-    snapped = jnp.where(
-        (d_orig <= d_half) & (d_orig <= d_dbl), f0,
-        jnp.where(d_half <= d_dbl, f0 / 2.0, f0 * 2.0))
-    apply = (f0 > 0) & (n >= 3) & jnp.isfinite(
-        jnp.minimum(d_orig, jnp.minimum(d_half, d_dbl)))
-    return jnp.where(apply, snapped, f0)
+    alpha = half_pass(range(0, H))
+    beta = half_pass(range(Wn - 1, H, -1))
+    total = alpha + beta + nb_c[:, H]
+    k_star = jnp.argmin(total, axis=1)
+    ks = jnp.arange(K)
+    choice = jnp.sum(jnp.where(ks[None, :] == k_star[:, None],
+                               nb_f[:, H], 0.0), axis=1)
+    apply = (f0 > 0) & act[:, H] & (choice > 0)
+    # ``choice`` is also returned for UNVOICED frames (the center's
+    # candidates exist even when the frame is not a path node): the
+    # voicing revision uses it as the rescue hypothesis.
+    return jnp.where(apply, choice, f0), choice
+
+
+def voicing_revision(x: jnp.ndarray, f0: jnp.ndarray, choice: jnp.ndarray,
+                     num_frames: int, cfg: DspConfig,
+                     center_offset: int = 0) -> jnp.ndarray:
+    """Full-rate band-evidence voicing revision (D4C LoveTrain role,
+    upstream:mmorise/World src/d4c.cpp).  Frame-local given (f0, choice),
+    so streaming caches stay exact.  Two rules (DspConfig voicing_*):
+
+    DEMOTE: a voiced frame whose fft window contains a near-silent
+    sub-block (min/mean block energy < voicing_block_ratio) is not
+    confidently voiced — its wide window leaked periodicity across a
+    silence boundary.
+
+    RESCUE: a CMND-unvoiced frame whose lattice ``choice`` candidate has
+    low-band periodicity >= voicing_rescue_plow AND whose low band
+    carries >= voicing_low_frac of the frame's spectral energy becomes
+    voiced at the candidate (breathy/jittery voicing: periodic low band
+    under high-band turbulence).  Rescue also requires the block-energy
+    confidence, so silence-boundary frames cannot re-enter.
+
+    The framing and power spectrogram CSE with the envelope stage's
+    under jit; the extra cost is two block-sum reductions and one cosine
+    contraction.
+    """
+    from realtime_yukarin_tpu.dsp.envelope import power_spectrogram
+    N = cfg.fft_size
+    fs = float(cfg.sample_rate)
+    M = cfg.voicing_blocks
+    NE = cfg.voicing_energy_win
+    B = NE // M
+    frames = extract_centered_frames(x, num_frames, cfg.hop, NE,
+                                     center_offset)
+    be = jnp.sum(frames[:, : M * B].reshape(num_frames, M, B) ** 2, axis=2)
+    conf = jnp.min(be, axis=1) / (jnp.mean(be, axis=1) + 1e-20)
+    energy_ok = conf >= cfg.voicing_block_ratio
+
+    P = power_spectrogram(x, num_frames, cfg, center_offset)
+    w_low = jnp.asarray(
+        (jnp.arange(N // 2 + 1) * (fs / N)) < cfg.voicing_low_band_hz,
+        P.dtype)
+    Pl = P * w_low[None, :]
+    low_frac = jnp.sum(Pl, axis=1) / (jnp.sum(P, axis=1) + 1e-20)
+    lag = jnp.round(fs / jnp.maximum(choice, 1.0))
+    rho = (2.0 + jnp.cos(2.0 * jnp.pi * lag / N)) / 3.0
+    r0 = dft.autocorr_at_lag(Pl, jnp.zeros_like(lag), N)
+    p_low = dft.autocorr_at_lag(Pl, lag, N) / (r0 + 1e-20) / rho
+
+    rescue = ((f0 <= 0) & (choice > 0) & energy_ok
+              & (p_low >= cfg.voicing_rescue_plow)
+              & (low_frac >= cfg.voicing_low_frac))
+    out = jnp.where(rescue, choice, f0)
+    return jnp.where(energy_ok, out, 0.0)
 
 
 def refine_f0_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig,
@@ -212,15 +388,18 @@ def refine_f0_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig,
     return jnp.where(keep, f0_new, f0)
 
 
-def estimate_f0_raw(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
-                    center_offset: int = 0) -> jnp.ndarray:
-    """Pre-median per-frame F0 — frame-local, so values are independent of
-    the analysis window placement.  The streaming layer caches raw values
-    across chunks and applies the 3-tap median itself (the median couples
-    neighboring frames, so it must see the cached neighbor)."""
+def _cmnd_and_energy(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
+                     center_offset: int = 0
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared front half of the period search: framing, anti-alias +
+    decimate, CMND.  Returns (dp [F, lag_max_d+1], frame energy e0 [F]).
+
+    Both ``estimate_f0_raw`` and ``f0_candidates`` call this with
+    identical arguments — under jit the two calls are one subgraph (XLA
+    CSE), so the candidate lattice costs only its own top-K extraction.
+    """
     hop, W = cfg.hop, cfg.f0_window_d
-    lmin, lmax = cfg.lag_min_d, cfg.lag_max_d
-    fs = float(cfg.f0_fs_d)
+    lmax = cfg.lag_max_d
     frames = extract_centered_frames(x, num_frames, hop, cfg.f0_frame_len,
                                      center_offset)
     # anti-alias + decimate (Dio's low-pass + downsample): one banded MXU
@@ -233,6 +412,19 @@ def estimate_f0_raw(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     d = difference_function(frames, W, lmax)
     dp = cmnd(d)                                             # [F, lmax+1]
     e0 = jnp.sum(frames[:, :W] ** 2, axis=1)
+    return dp, e0
+
+
+def estimate_f0_raw(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
+                    center_offset: int = 0) -> jnp.ndarray:
+    """Pre-median per-frame F0 — frame-local, so values are independent of
+    the analysis window placement.  The streaming layer caches raw values
+    across chunks and applies the 3-tap median itself (the median couples
+    neighboring frames, so it must see the cached neighbor)."""
+    W = cfg.f0_window_d
+    lmin, lmax = cfg.lag_min_d, cfg.lag_max_d
+    fs = float(cfg.f0_fs_d)
+    dp, e0 = _cmnd_and_energy(x, num_frames, cfg, center_offset)
 
     # search range [lmin, lmax]
     r = dp[:, lmin: lmax + 1]                                # [F, R]

@@ -19,7 +19,9 @@ from realtime_yukarin_tpu.dsp.envelope import (log_envelope_and_mcep,
                                                power_spectrogram,
                                                spectral_envelope)
 from realtime_yukarin_tpu.dsp.f0 import (estimate_f0, estimate_f0_raw,
-                                         octave_snap, refine_f0_from_power)
+                                         f0_candidates,
+                                         refine_f0_from_power, viterbi_snap,
+                                         voicing_revision)
 from realtime_yukarin_tpu.dsp.framing import median3
 from realtime_yukarin_tpu.dsp.mcep import decode_mcep, encode_mcep
 from realtime_yukarin_tpu.dsp.synthesis import SynthCarry, synthesize
@@ -49,7 +51,9 @@ def analyze(wave: jnp.ndarray, num_frames: int, cfg: DspConfig,
     geometry so every shape is fixed under jit.
     """
     f0 = median3(estimate_f0_raw(wave, num_frames, cfg, center_offset))
-    f0 = octave_snap(f0, cfg)
+    cand_f0, cand_cost = f0_candidates(wave, num_frames, cfg, center_offset)
+    f0, choice = viterbi_snap(f0, cand_f0, cand_cost, cfg)
+    f0 = voicing_revision(wave, f0, choice, num_frames, cfg, center_offset)
     return analyze_given_f0(wave, f0, num_frames, cfg, center_offset,
                             refine=True)
 

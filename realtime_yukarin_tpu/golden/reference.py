@@ -137,35 +137,188 @@ def estimate_f0(x: np.ndarray, num_frames: int, cfg: DspConfig) -> np.ndarray:
     # around the coarse lag and parabolic-fits the window-ACF-corrected
     # peak.  Measured: sweep p50 22.5 -> 4.2 cents, harmonic max
     # 3.3 -> 0.9 (tests/test_dsp_golden.py gates).
-    f0 = octave_snap(f0, cfg)
+    cand_f0, cand_cost = f0_candidates(x, num_frames, cfg)
+    f0, choice = viterbi_snap(f0, cand_f0, cand_cost, cfg)
+    f0 = voicing_revision(x, f0, choice, num_frames, cfg)
     return refine_f0(x, f0, num_frames, cfg)
 
 
-def octave_snap(f0: np.ndarray, cfg: DspConfig) -> np.ndarray:
-    """Octave-continuity correction (see DspConfig.f0_snap_halo): shift
-    each voiced frame by +-1 octave toward the log-domain LOWER median of
-    its +-halo voiced neighborhood (computed on the un-snapped track, so
-    the pass stays parallel/frame-local with bounded lookahead)."""
+_BIG = 1.0e6      # finite "infinity" for the masked min-plus DP
+
+
+def f0_candidates(x: np.ndarray, num_frames: int, cfg: DspConfig
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Top-K CMND dip candidates per frame (Harvest candidate-lattice
+    role).  Loop-style mirror of ``dsp.f0.f0_candidates``: K deepest
+    local CMND minima, parabolic-refined; emission = (cost above the
+    frame's best) x periodicity reliability, with cost carrying a
+    RELATIVE (multiplicative) per-octave lag penalty plus the additive
+    octave_margin term (see DspConfig.f0_rel_bias).  Returns (cand_f0
+    [F, K] Hz with 0 = invalid, emis [F, K])."""
+    hop = cfg.hop
+    R, hw = cfg.f0_decimation, cfg.f0_aa_half
+    W = cfg.f0_window_d
+    lmin, lmax = cfg.lag_min_d, cfg.lag_max_d
+    FL, FLd = cfg.f0_frame_len, cfg.f0_frame_len_d
+    K = cfg.f0_cand_k
+    frames = extract_centered_frames(x, num_frames, hop, FL)
+    fs = float(cfg.f0_fs_d)
+    h = prim.f0_decim_filter(R, hw)
+
+    cand_f0 = np.zeros((num_frames, K))
+    cand_cost = np.full((num_frames, K), _BIG)
+    for i in range(num_frames):
+        s = np.array([np.dot(h, frames[i, m * R: m * R + 2 * hw + 1])
+                      for m in range(FLd)])
+        d = np.zeros(lmax + 1)
+        for l in range(lmax + 1):
+            diff = s[:W] - s[l:l + W]
+            d[l] = np.dot(diff, diff)
+        e0 = np.dot(s[:W], s[:W])
+        if e0 / W < prim.SILENCE_POWER:
+            continue
+        dprime = np.ones(lmax + 1)
+        csum = 0.0
+        for l in range(1, lmax + 1):
+            csum += d[l]
+            dprime[l] = d[l] * l / csum if csum > 0 else 1.0
+        # local minima in [lmin, lmax] (<= both neighbors; the right
+        # neighbor of lmax is +inf, matching the JAX mask)
+        dips = []
+        for l in range(lmin, lmax + 1):
+            nxt = dprime[l + 1] if l + 1 <= lmax else np.inf
+            if dprime[l] <= dprime[l - 1] and dprime[l] <= nxt:
+                dips.append((dprime[l], l))
+        dips.sort()                      # by depth, then smaller lag
+        gamma = 1.0 + cfg.f0_rel_bias
+        dip_best = _BIG
+        for k, (ck, tau) in enumerate(dips[:K]):
+            t = float(tau)
+            if lmin < tau < lmax:
+                a, b, c = dprime[tau - 1], dprime[tau], dprime[tau + 1]
+                denom = a - 2.0 * b + c
+                if abs(denom) > 1e-12:
+                    t = tau + float(np.clip(0.5 * (a - c) / denom,
+                                            -1.0, 1.0))
+            f0_k = fs / t
+            if cfg.f0_floor <= f0_k <= cfg.f0_ceil:
+                oct_k = np.log2(tau / lmin)
+                cand_f0[i, k] = f0_k
+                cand_cost[i, k] = (ck * gamma ** oct_k
+                                   + cfg.octave_margin * oct_k)
+                dip_best = min(dip_best, ck)
+        # -> reliability-weighted relative emissions
+        valid = cand_cost[i] < 0.5 * _BIG
+        if valid.any():
+            m = cand_cost[i][valid].min()
+            r = float(np.clip(1.0 - dip_best / cfg.voicing_threshold,
+                              0.0, 1.0))
+            cand_cost[i] = np.where(
+                valid, np.minimum((cand_cost[i] - m) * r, cfg.f0_emis_cap),
+                _BIG)
+    return cand_f0, cand_cost
+
+
+def viterbi_snap(f0: np.ndarray, cand_f0: np.ndarray,
+                 cand_cost: np.ndarray, cfg: DspConfig) -> np.ndarray:
+    """Bounded-window Viterbi contour selection (Harvest contour-DP
+    role).  Loop-style mirror of ``dsp.f0.viterbi_snap``: each voiced
+    frame is re-decided among its top-K candidates by the minimum-cost
+    path through the +-halo window; transition = f0_trans_weight per
+    octave between consecutive active frames, inactive frames pass
+    through freely.  Per-frame windowed, so bounded lookahead.  Returns
+    (snapped f0, per-frame chosen candidate incl. unvoiced frames)."""
+    F = len(f0)
     H = cfg.f0_snap_halo
     if H == 0:
-        return f0
-    F = len(f0)
+        ch = np.zeros(F)
+        for i in range(F):
+            if (cand_f0[i] > 0).any():
+                ch[i] = cand_f0[i, int(np.argmin(cand_cost[i]))]
+        return f0, ch
+    K = cand_f0.shape[1]
+    wt = cfg.f0_trans_weight
     out = f0.copy()
+    emis = cand_cost                 # already emission-transformed
+
+    def half_pass(i, offs):
+        """Message into center i from window frames at i+offs (edge
+        first), transition into the center included."""
+        msg = np.zeros(K)
+        lfp = np.zeros(K)
+        has = False
+        for o in offs:
+            j = i + o
+            if not (0 <= j < F):
+                continue
+            if f0[j] <= 0 or not (cand_f0[j] > 0).any():
+                continue
+            lfj = np.log2(np.maximum(cand_f0[j], 1e-6))
+            new = np.empty(K)
+            for k in range(K):
+                step = (msg + wt * np.abs(lfj[k] - lfp)).min() if has \
+                    else msg.min()
+                new[k] = emis[j, k] + step
+            msg, lfp, has = new, lfj, True
+        lfc = np.log2(np.maximum(cand_f0[i], 1e-6))
+        into = np.empty(K)
+        for k in range(K):
+            into[k] = (msg + wt * np.abs(lfc[k] - lfp)).min() if has \
+                else msg.min()
+        return into
+
+    choices = np.zeros(F)
     for i in range(F):
-        if f0[i] <= 0:
+        if not (cand_f0[i] > 0).any():
             continue
-        nb = f0[max(0, i - H): min(F, i + H + 1)]
-        nb = np.sort(np.log(nb[nb > 0]))
-        if len(nb) < 3:
+        alpha = half_pass(i, range(-H, 0))
+        beta = half_pass(i, range(H, 0, -1))
+        total = alpha + beta + emis[i]
+        choice = cand_f0[i, int(np.argmin(total))]
+        choices[i] = choice
+        if f0[i] > 0 and choice > 0:
+            out[i] = choice
+    return out, choices
+
+
+def voicing_revision(x: np.ndarray, f0: np.ndarray, choice: np.ndarray,
+                     num_frames: int, cfg: DspConfig) -> np.ndarray:
+    """Band-evidence voicing revision (D4C LoveTrain role).  Loop-style
+    mirror of ``dsp.f0.voicing_revision``: demote voiced frames whose
+    fft window contains a near-silent sub-block; rescue CMND-unvoiced
+    frames whose lattice candidate shows high low-band periodicity with
+    a meaningful low-band energy share."""
+    N = cfg.fft_size
+    fs = float(cfg.sample_rate)
+    M = cfg.voicing_blocks
+    NE = cfg.voicing_energy_win
+    B = NE // M
+    w = prim.hann(N)
+    frames = extract_centered_frames(x, num_frames, cfg.hop, N)
+    eframes = extract_centered_frames(x, num_frames, cfg.hop, NE)
+    kb = np.arange(N // 2 + 1) * fs / N
+    w_low = kb < cfg.voicing_low_band_hz
+    out = f0.copy()
+    for i in range(num_frames):
+        be = np.array([np.sum(eframes[i, m * B:(m + 1) * B] ** 2)
+                       for m in range(M)])
+        energy_ok = (be.min() / (be.mean() + 1e-20)
+                     >= cfg.voicing_block_ratio)
+        if not energy_ok:
+            out[i] = 0.0
             continue
-        med = nb[(len(nb) - 1) // 2]          # lower median (JAX parity)
-        lf = np.log(f0[i])
-        cand = []
-        for mult, c in ((1.0, f0[i]), (0.5, f0[i] / 2), (2.0, f0[i] * 2)):
-            if cfg.f0_floor <= c <= cfg.f0_ceil:
-                cand.append((abs(np.log(c) - med), c))
-        if cand:
-            out[i] = min(cand, key=lambda t: t[0])[1]
+        if f0[i] > 0 or choice[i] <= 0:
+            continue
+        P = np.abs(np.fft.rfft(frames[i] * w)) ** 2
+        Pl = P * w_low
+        low_frac = Pl.sum() / (P.sum() + 1e-20)
+        if low_frac < cfg.voicing_low_frac:
+            continue
+        lag = int(round(fs / choice[i]))
+        rl = np.fft.irfft(Pl.astype(np.complex128), N)
+        p_low = rl[lag] / (rl[0] + 1e-20) / hann_acf(lag, N)
+        if p_low >= cfg.voicing_rescue_plow:
+            out[i] = choice[i]
     return out
 
 

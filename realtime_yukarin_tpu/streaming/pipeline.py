@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from realtime_yukarin_tpu.config import Config, resolve_vocoder_mode
-from realtime_yukarin_tpu.dsp.f0 import estimate_f0_raw, octave_snap
+from realtime_yukarin_tpu.dsp.f0 import (estimate_f0_raw, f0_candidates,
+                                         viterbi_snap, voicing_revision)
 from realtime_yukarin_tpu.dsp.framing import median3
 from realtime_yukarin_tpu.dsp.synthesis import render, synthesize
 from realtime_yukarin_tpu.dsp.world import (AcousticFeature,
@@ -130,18 +131,31 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     fresh = geo.fresh_frames                     # Fc + E raw frames
     off = geo.buf_frame0_offset + C * hop
     raw_fresh = estimate_f0_raw(buf, fresh, cfg.dsp, off)
+    # top-K dip candidates for the same frames — the CMND front half
+    # CSEs with estimate_f0_raw's under jit (identical subgraph)
+    cand_fresh, cost_fresh = f0_candidates(buf, fresh, cfg.dsp, off)
     raw_ext = jnp.concatenate([carry.f0_raw_prev, raw_fresh])
+    cand_ext = jnp.concatenate([carry.f0_cand_prev, cand_fresh])
+    cost_ext = jnp.concatenate([carry.f0_cost_prev, cost_fresh])
     # median for frames [C-E, Fn); interior values (all we consume) are
     # exact, edge replicas fall outside the consumed range
     m_ext = median3(raw_ext)
-    # octave-snap for the Fc finals [C, Fn-E): each needs the median on
-    # [i-halo, i+halo], all interior of m_ext.  The snap helper zero-pads
-    # its input edges, so slice exactly halo margin on both sides and
-    # keep the middle Fc outputs (those windows are complete).
+    # Viterbi contour snap for the Fc finals [C, Fn-E): each needs the
+    # median track + candidates on [i-halo, i+halo], all interior of the
+    # ext arrays.  The snap helper pads its input edges with inactive
+    # frames, so slice exactly halo margin on both sides and keep the
+    # middle Fc outputs (those windows are complete).
     halo = cfg.dsp.f0_snap_halo
     lo = E - halo                                # m_ext index of frame C-halo
     snap_in = m_ext[lo: lo + Fc + 2 * halo]
-    f0_final = octave_snap(snap_in, cfg.dsp)[halo: halo + Fc]
+    snapped, choice = viterbi_snap(snap_in,
+                                   cand_ext[lo: lo + Fc + 2 * halo],
+                                   cost_ext[lo: lo + Fc + 2 * halo],
+                                   cfg.dsp)
+    # band-evidence voicing revision on the finals (frame-local given
+    # f0+choice; framing/power CSE with analyze_given_f0's below)
+    f0_final = voicing_revision(buf, snapped[halo: halo + Fc],
+                                choice[halo: halo + Fc], Fc, cfg.dsp, off)
     # refine=True: the StoneMask-role refinement runs on the fresh
     # frames' shared power spectrogram; frame-local given the snapped
     # f0, so refined values cache exactly like every other feature
@@ -225,7 +239,9 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
         f0_cache=f0_all[Fc:],
         mc_cache=mc_all[Fc:],
         ap_cache=ap_all[Fc:],
-        f0_raw_prev=raw_fresh[Fc - E: Fc])
+        f0_raw_prev=raw_fresh[Fc - E: Fc],
+        f0_cand_prev=cand_fresh[Fc - E: Fc],
+        f0_cost_prev=cost_fresh[Fc - E: Fc])
     return out, new_carry
 
 

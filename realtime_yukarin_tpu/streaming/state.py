@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from realtime_yukarin_tpu.config import Config, DspConfig
 from realtime_yukarin_tpu.dsp import primitives as prim
 from realtime_yukarin_tpu.dsp import resample
+from realtime_yukarin_tpu.dsp.f0 import _BIG as _VITERBI_BIG
 from realtime_yukarin_tpu.dsp.synthesis import SynthCarry
 
 
@@ -98,7 +99,8 @@ class StreamGeometry:
             mctx += cfg.vocoder_nn.context_frames
         elif mode == "wave":
             mctx += cfg.vocoder_wave.context_frames
-        AH = max(dsp.fft_size // 2, (dsp.f0_frame_len + 1) // 2)
+        AH = max(dsp.fft_size // 2, (dsp.f0_frame_len + 1) // 2,
+                 (dsp.voicing_energy_win + 1) // 2)
         ah_frames = -(-AH // hop)                   # ceil
         D = mctx + ah_frames
         Fn = Fc + 2 * mctx + 1
@@ -171,6 +173,8 @@ class StreamCarry(flax.struct.PyTreeNode):
     mc_cache: jnp.ndarray      # [C, M+1] mel-cepstra of cached frames
     ap_cache: jnp.ndarray      # [C, B] band aperiodicity of cached frames
     f0_raw_prev: jnp.ndarray   # [E] raw F0 of the E frames before fresh
+    f0_cand_prev: jnp.ndarray  # [E, K] top-K dip candidates before fresh
+    f0_cost_prev: jnp.ndarray  # [E, K] their Viterbi emission costs
     mc_c_cache: jnp.ndarray    # [Cs, M+1] stage-1 OUTPUTS carried over
     stage1_acts: tuple         # per-block [k-1, hidden] activation tails
     rs_in: jnp.ndarray | None = None   # input-resampler history (client rate)
@@ -198,6 +202,11 @@ class StreamCarry(flax.struct.PyTreeNode):
             mc_cache=jnp.asarray(mc_sil, dtype),
             ap_cache=jnp.asarray(ap_sil, dtype),
             f0_raw_prev=jnp.zeros((geo.f0_edge,), dtype),
+            # zero candidates = inactive frames for the window Viterbi —
+            # exactly what analysis of the initial silence produces
+            f0_cand_prev=jnp.zeros((geo.f0_edge, cfg.dsp.f0_cand_k), dtype),
+            f0_cost_prev=jnp.full((geo.f0_edge, cfg.dsp.f0_cand_k),
+                                  _VITERBI_BIG, dtype),
             mc_c_cache=jnp.tile(mc_c_row[None],
                                 (geo.stage1_cache_frames, 1)),
             stage1_acts=acts,
