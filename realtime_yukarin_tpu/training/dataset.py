@@ -4,12 +4,14 @@ Consumes the output of ``training.corpus.prepare_corpus`` (one npz per
 aligned utterance pair).  Crops random fixed-length windows so every batch
 has one static shape ([B, F+1, ...]) — the jit/pjit contract.
 
-``wave_tgt`` (the neural vocoder's multi-resolution-STFT target) is
-rendered on-device from the *aligned target features* with the
-deterministic DSP synthesizer: the neural vocoder trains as a refinement
-of WORLD-equivalent synthesis (its zero-init heads start exactly there,
-models/vocoder_nn.py), so the DSP render of the ground-truth features is
-the natural distillation target when time-warped raw audio doesn't exist.
+Two independent crops per sample (VERDICT r3 missing #1):
+  * the ALIGNED window (``*_src``/``*_tgt``) feeds the conversion-stage
+    regression losses — the yukarin/become-yukarin data flow;
+  * the SELF-VOCODING window (``*_voc`` + ``wave_voc``) pairs the target
+    speaker's features with the REAL raw waveform of the same frames on
+    the target's own timeline — vocoding is same-utterance, so no DTW is
+    involved and the neural vocoders train against real audio (phase,
+    transients, inter-harmonic structure), not a DSP render of features.
 """
 
 from __future__ import annotations
@@ -18,12 +20,10 @@ import pathlib
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from realtime_yukarin_tpu.config import Config
 from realtime_yukarin_tpu.dsp import primitives as prim
-from realtime_yukarin_tpu.dsp.synthesis import synthesize
 from realtime_yukarin_tpu.training.train_step import Batch
 
 
@@ -38,19 +38,16 @@ class CorpusDataset:
         if not self._files:
             raise FileNotFoundError(f"no pair npz files in {prepared_dir}")
         self._data = [dict(np.load(p)) for p in self._files]
+        for u, p in zip(self._data, self._files):
+            if "wave_voc" not in u:
+                raise KeyError(
+                    f"{p} lacks the self-vocoding arrays (wave_voc/*_voc) "
+                    f"— re-run prepare_corpus (round-4 format: the vocoder "
+                    f"target is real audio, not a DSP render)")
         self._cfg = cfg
         self._F = crop_frames
         self._rng = np.random.default_rng(seed)
         self._k_noise = prim.noise_fft_size(cfg.dsp.hop) // 2 + 1
-
-        @jax.jit
-        def _render(f0, env, ap, noise):
-            out, _ = jax.vmap(
-                lambda a, b, c, n: synthesize(a, b, c, n, cfg.dsp))(
-                    f0, env, ap, noise)
-            return out
-
-        self._render = _render
 
     @property
     def num_utterances(self) -> int:
@@ -67,21 +64,30 @@ class CorpusDataset:
 
     def sample_batch(self, batch_size: int) -> Batch:
         F = self._F
-        rows = {k: [] for k in ("f0_src", "mc_src", "ap_src",
-                                "f0_tgt", "mc_tgt", "env_tgt", "ap_tgt")}
+        hop = self._cfg.dsp.hop
+        aligned = ("f0_src", "mc_src", "ap_src", "f0_tgt", "mc_tgt",
+                   "env_tgt")
+        voc = ("f0_voc", "mc_voc", "ap_voc", "env_voc")
+        rows = {k: [] for k in aligned + voc}
+        waves = []
         for _ in range(batch_size):
             u = self._data[self._rng.integers(len(self._data))]
             max_start = max(0, u["f0_src"].shape[0] - (F + 1))
             s = int(self._rng.integers(max_start + 1))
-            for k in rows:
+            for k in aligned:
                 rows[k].append(self._crop(u[k], s, F + 1))
+            # independent crop on the target's own timeline, bounded so
+            # the raw-audio window [s2*hop, (s2+F)*hop) exists in full
+            Fv = u["f0_voc"].shape[0]
+            max_v = max(0, min(Fv - (F + 1), len(u["wave_voc"]) // hop - F))
+            s2 = int(self._rng.integers(max_v + 1))
+            for k in voc:
+                rows[k].append(self._crop(u[k], s2, F + 1))
+            waves.append(self._crop(u["wave_voc"].reshape(-1, hop), s2,
+                                    F).reshape(-1))
         stack = {k: jnp.asarray(np.stack(v), jnp.float32)
                  for k, v in rows.items()}
         noise = jnp.asarray(self._rng.standard_normal(
             (batch_size, F, self._k_noise, 2)), jnp.float32)
-        wave_tgt = self._render(stack["f0_tgt"], stack["env_tgt"],
-                                stack["ap_tgt"], noise)
-        return Batch(f0_src=stack["f0_src"], mc_src=stack["mc_src"],
-                     ap_src=stack["ap_src"], f0_tgt=stack["f0_tgt"],
-                     mc_tgt=stack["mc_tgt"], env_tgt=stack["env_tgt"],
-                     wave_tgt=wave_tgt, noise=noise)
+        return Batch(wave_voc=jnp.asarray(np.stack(waves), jnp.float32),
+                     noise=noise, **stack)

