@@ -25,11 +25,21 @@ from realtime_yukarin_tpu.ops import dft
 
 def power_spectrogram(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
                       center_offset: int = 0) -> jnp.ndarray:
-    """[T] -> |STFT|^2 [F, K], Hann window, frames centered at i*hop."""
+    """[T] -> |STFT|^2 [F, K], Hann window, frames centered at i*hop.
+
+    On TPU the window + DFT + |.|^2 run as one fused Pallas kernel
+    (ops/pallas_analysis.py); elsewhere as DFT matmuls (~10x faster than
+    XLA's TPU FFT at these sizes either way).  NOTE for callers inside
+    one jit program: identical XLA subgraphs CSE, identical pallas_calls
+    may NOT — compute P once and pass it down (analyze_given_f0 /
+    voicing_revision take an explicit ``P=``) instead of relying on CSE.
+    """
+    from realtime_yukarin_tpu.ops import pallas_analysis as pa
     N = cfg.fft_size
     frames = extract_centered_frames(x, num_frames, cfg.hop, N,
                                      center_offset)
-    # DFT-as-matmul: ~10x faster than XLA's TPU FFT at these sizes
+    if pa.use_pallas():
+        return pa.power_spectrum_fused(frames, N)
     return dft.power_spectrum(frames * hann(N, frames.dtype), N)
 
 
@@ -59,12 +69,18 @@ def _lifted_half_cepstrum(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig
     gathers): (1) linear-domain smoothing with effective rect width f0
     fills inter-harmonic valleys; (2) log-domain liftering removes
     residual harmonic ripple."""
+    from realtime_yukarin_tpu.ops import pallas_analysis as pa
     N = cfg.fft_size
     fs = float(cfg.sample_rate)
     f0_eff = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
 
     t_q = jnp.asarray(np.arange(N // 2 + 1) / fs, dtype=P.dtype)
     lift_half = jnp.sinc(f0_eff[:, None] * t_q[None, :])
+
+    if pa.use_pallas():
+        # the whole quefrency chain as one fused kernel on TPU
+        return pa.envelope_cepstrum_fused(P, lift_half, N,
+                                          cfg.envelope_floor_db), lift_half
 
     P = dft.quefrency_filter(P, lift_half, N)
     # relative per-frame floor: bounds the log dynamic range so float32

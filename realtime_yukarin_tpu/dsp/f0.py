@@ -114,8 +114,9 @@ def estimate_f0(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     f0 = median3(estimate_f0_raw(x, num_frames, cfg, center_offset))
     cand_f0, cand_cost = f0_candidates(x, num_frames, cfg, center_offset)
     f0, choice = viterbi_snap(f0, cand_f0, cand_cost, cfg)
-    f0 = voicing_revision(x, f0, choice, num_frames, cfg, center_offset)
     P = power_spectrogram(x, num_frames, cfg, center_offset)
+    f0 = voicing_revision(x, f0, choice, num_frames, cfg, center_offset,
+                          P=P)
     return refine_f0_from_power(P, f0, cfg)
 
 
@@ -285,7 +286,8 @@ def viterbi_snap(f0: jnp.ndarray, cand_f0: jnp.ndarray,
 
 def voicing_revision(x: jnp.ndarray, f0: jnp.ndarray, choice: jnp.ndarray,
                      num_frames: int, cfg: DspConfig,
-                     center_offset: int = 0) -> jnp.ndarray:
+                     center_offset: int = 0,
+                     P: jnp.ndarray | None = None) -> jnp.ndarray:
     """Full-rate band-evidence voicing revision (D4C LoveTrain role,
     upstream:mmorise/World src/d4c.cpp).  Frame-local given (f0, choice),
     so streaming caches stay exact.  Two rules (DspConfig voicing_*):
@@ -302,9 +304,9 @@ def voicing_revision(x: jnp.ndarray, f0: jnp.ndarray, choice: jnp.ndarray,
     under high-band turbulence).  Rescue also requires the block-energy
     confidence, so silence-boundary frames cannot re-enter.
 
-    The framing and power spectrogram CSE with the envelope stage's
-    under jit; the extra cost is two block-sum reductions and one cosine
-    contraction.
+    Pass the shared power spectrogram via ``P`` (computed once per step;
+    see dsp.envelope.power_spectrogram's CSE note); the extra cost is
+    two block-sum reductions and one cosine contraction.
     """
     from realtime_yukarin_tpu.dsp.envelope import power_spectrogram
     N = cfg.fft_size
@@ -318,7 +320,8 @@ def voicing_revision(x: jnp.ndarray, f0: jnp.ndarray, choice: jnp.ndarray,
     conf = jnp.min(be, axis=1) / (jnp.mean(be, axis=1) + 1e-20)
     energy_ok = conf >= cfg.voicing_block_ratio
 
-    P = power_spectrogram(x, num_frames, cfg, center_offset)
+    if P is None:
+        P = power_spectrogram(x, num_frames, cfg, center_offset)
     w_low = jnp.asarray(
         (jnp.arange(N // 2 + 1) * (fs / N)) < cfg.voicing_low_band_hz,
         P.dtype)

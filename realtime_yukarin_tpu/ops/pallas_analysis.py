@@ -1,0 +1,257 @@
+"""Pallas TPU kernels: fused analysis front-end (BASELINE north star
+"feature extraction moves ... to fused Pallas STFT/cepstrum kernels").
+
+Two kernels cover the envelope chain's HBM round-trips (VERDICT r3
+missing #2 — every basis matmul of the XLA path reads its input from and
+writes its output to HBM; at 512 streams that is ~10 tensor round-trips
+of [12.8k, 512] f32 per step):
+
+* ``power_spectrum_fused``: Hann window + the two rfft basis matmuls +
+  |.|^2 in one kernel — frames are read once, only P is written.
+* ``envelope_cepstrum_fused``: the whole CheapTrick-role quefrency chain
+  (cepstrum matmul, f0-adaptive sinc lifter, inverse matmul, relative
+  floor + log, second cepstrum matmul + lifter) — P in, lifted cepstrum
+  out, zero intermediates in HBM.
+
+Batching: the serving path vmaps the WHOLE streaming step over streams.
+A vmapped pallas_call would grid per stream — ~21-row matmuls that waste
+>80% of the MXU — so both entry points carry a ``custom_vmap`` rule that
+flattens the batch dim into rows and re-enters the same kernel: batched
+serving lowers to ONE launch over the global [B*F, n] frame matrix,
+exactly the tiling the XLA path gets from its batched matmuls.
+
+Both kernels tile rows over a 1-D grid with every basis resident in VMEM
+(~6 MB of the 16 MB budget at fft_size=1022) and run the matmuls at
+``ops.dft.DFT_PRECISION`` (bf16_3x), matching the XLA path's numerics to
+~1e-6 relative; parity is gated by tests/test_pallas.py in interpret
+mode and by the callers' golden tolerances on device.  The XLA path
+remains the fallback (CPU tests, non-TPU backends) — dispatch via
+``use_pallas()``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from realtime_yukarin_tpu.dsp import primitives as prim
+from realtime_yukarin_tpu.ops import dft
+
+ROW_TILE = 256
+
+
+def use_pallas() -> bool:
+    """Fused kernels only on real TPU; XLA path everywhere else."""
+    return jax.default_backend() == "tpu"
+
+
+# Mosaic rejects Precision.HIGH, so bf16_3x (what XLA's HIGH does on f32
+# operands) is emulated in-kernel: x ~ x_hi + x_lo in bf16, dropping the
+# lo*lo term — three DEFAULT-precision bf16 passes with f32 accumulation.
+# Bases are pre-split host-side (hi + lo costs the same VMEM as f32).
+
+def _split_bf16(a) -> tuple[jnp.ndarray, jnp.ndarray]:
+    hi = jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    lo = (jnp.asarray(a, jnp.float32) - hi.astype(jnp.float32)
+          ).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(x: jnp.ndarray, y_hi: jnp.ndarray, y_lo: jnp.ndarray
+          ) -> jnp.ndarray:
+    """bf16_3x matmul of f32 x against a pre-split basis."""
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(x_hi, y_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(x_hi, y_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(x_lo, y_hi, preferred_element_type=jnp.float32))
+
+
+def _row_pad(x: jnp.ndarray, tile: int) -> tuple[jnp.ndarray, int]:
+    R = x.shape[0]
+    R_pad = -(-R // tile) * tile
+    if R_pad != R:
+        x = jnp.pad(x, ((0, R_pad - R),) + ((0, 0),) * (x.ndim - 1))
+    return x, R
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: windowed power spectrum
+# ---------------------------------------------------------------------------
+
+def _power_kernel(frames_ref, hann_ref, cos_hi_ref, cos_lo_ref,
+                  sin_hi_ref, sin_lo_ref, p_ref):
+    w = frames_ref[:, :] * hann_ref[0, :][None, :]
+    re = _dot3(w, cos_hi_ref[:, :], cos_lo_ref[:, :])
+    im = _dot3(w, sin_hi_ref[:, :], sin_lo_ref[:, :])
+    p_ref[:, :] = re * re + im * im
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _power_fused_rows(frames: jnp.ndarray, n: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    K = n // 2 + 1
+    cos, sin = dft.rfft_bases(n)
+    hann = jnp.asarray(prim.hann(n), jnp.float32)[None, :]
+    frames, R = _row_pad(frames.astype(jnp.float32), ROW_TILE)
+    grid = (frames.shape[0] // ROW_TILE,)
+    basis_spec = pl.BlockSpec((n, K), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _power_kernel,
+        out_shape=jax.ShapeDtypeStruct((frames.shape[0], K), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROW_TILE, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            basis_spec, basis_spec, basis_spec, basis_spec,
+        ],
+        out_specs=pl.BlockSpec((ROW_TILE, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(frames, hann, *_split_bf16(cos), *_split_bf16(sin))
+    return out[:R]
+
+
+@functools.lru_cache(maxsize=None)
+def _power_fused_cv(n: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(frames):                                   # [R, n] -> [R, K]
+        return _power_fused_rows(frames, n, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, frames):        # noqa: ANN001
+        (fb,) = in_batched
+        if not fb:
+            return f(frames), False
+        R = frames.shape[1]
+        out = f(frames.reshape(-1, n))               # recursive: nest-safe
+        return out.reshape(axis_size, R, out.shape[-1]), True
+
+    return f
+
+
+def power_spectrum_fused(frames: jnp.ndarray, n: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """|rfft(hann * frames)|^2.  frames [..., R, n] -> [..., R, K]."""
+    f = _power_fused_cv(n, interpret)
+    if frames.ndim > 2:
+        lead = frames.shape[:-2]
+        out = f(frames.reshape(-1, n))
+        return out.reshape(lead + (frames.shape[-2], out.shape[-1]))
+    return f(frames)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: quefrency chain (smooth -> floor/log -> lifted cepstrum)
+# ---------------------------------------------------------------------------
+
+def _cepstrum_kernel(floor_gain_ref, p_ref, lift_ref, c_hi_ref, c_lo_ref,
+                     d_hi_ref, d_lo_ref, out_ref):
+    P = p_ref[:, :]
+    lift = lift_ref[:, :]
+    # linear-domain pitch-adaptive smoothing (quefrency sinc filter)
+    c1 = _dot3(P, c_hi_ref[:, :], c_lo_ref[:, :]) * lift
+    Ps = _dot3(c1, d_hi_ref[:, :], d_lo_ref[:, :])
+    # relative per-frame floor + log (dsp/envelope.py semantics)
+    floor = jnp.maximum(
+        jnp.max(Ps, axis=1, keepdims=True) * floor_gain_ref[0],
+        prim.POWER_FLOOR)
+    L = jnp.log(jnp.maximum(Ps, floor))
+    # log-domain cepstrum + lifter -> lifted half cepstrum
+    out_ref[:, :] = _dot3(L, c_hi_ref[:, :], c_lo_ref[:, :]) * lift
+
+
+@functools.partial(jax.jit, static_argnames=("n", "floor_db", "interpret"))
+def _cepstrum_fused_rows(P: jnp.ndarray, lift_half: jnp.ndarray, n: int,
+                         floor_db: float,
+                         interpret: bool = False) -> jnp.ndarray:
+    K = n // 2 + 1
+    C = dft.cepstrum_basis(n)
+    D = dft.cepstrum_inverse_basis(n)
+    gain = jnp.asarray([10.0 ** (floor_db / 10.0)], jnp.float32)
+    P, R = _row_pad(P.astype(jnp.float32), ROW_TILE)
+    lift_half, _ = _row_pad(lift_half.astype(jnp.float32), ROW_TILE)
+    grid = (P.shape[0] // ROW_TILE,)
+    row_spec = pl.BlockSpec((ROW_TILE, K), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    basis_spec = pl.BlockSpec((K, K), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _cepstrum_kernel,
+        out_shape=jax.ShapeDtypeStruct((P.shape[0], K), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_spec, row_spec,
+            basis_spec, basis_spec, basis_spec, basis_spec,
+        ],
+        out_specs=row_spec,
+        interpret=interpret,
+    )(gain, P, lift_half, *_split_bf16(C), *_split_bf16(D))
+    return out[:R]
+
+
+@functools.lru_cache(maxsize=None)
+def _cepstrum_fused_cv(n: int, floor_db: float, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(P, lift_half):                             # [R, K] x2 -> [R, K]
+        return _cepstrum_fused_rows(P, lift_half, n, floor_db, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, P, lift_half):  # noqa: ANN001
+        pb, lb = in_batched
+        if not (pb and lb):
+            P = P if pb else jnp.broadcast_to(P, (axis_size,) + P.shape)
+            lift_half = lift_half if lb else jnp.broadcast_to(
+                lift_half, (axis_size,) + lift_half.shape)
+        K = P.shape[-1]
+        R = P.shape[1]
+        out = f(P.reshape(-1, K), lift_half.reshape(-1, K))
+        return out.reshape(axis_size, R, K), True
+
+    return f
+
+
+def envelope_cepstrum_fused(P: jnp.ndarray, lift_half: jnp.ndarray, n: int,
+                            floor_db: float,
+                            interpret: bool = False) -> jnp.ndarray:
+    """P [..., R, K] + lifter [..., R, K] -> lifted half cepstrum.
+
+    Fuses ``dft.quefrency_filter`` + floor/log + the cepstrum projection
+    of ``dsp.envelope._lifted_half_cepstrum`` into one kernel.
+    """
+    f = _cepstrum_fused_cv(n, floor_db, interpret)
+    if P.ndim > 2:
+        lead = P.shape[:-2]
+        out = f(P.reshape(-1, P.shape[-1]),
+                lift_half.reshape(-1, lift_half.shape[-1]))
+        return out.reshape(lead + (P.shape[-2], P.shape[-1]))
+    return f(P, lift_half)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementations (identical math; the non-TPU fallback and
+# the parity baseline for tests/test_pallas.py)
+# ---------------------------------------------------------------------------
+
+def power_spectrum_xla(frames: jnp.ndarray, n: int) -> jnp.ndarray:
+    hann = jnp.asarray(prim.hann(n), frames.dtype)
+    return dft.power_spectrum(frames * hann, n)
+
+
+def envelope_cepstrum_xla(P: jnp.ndarray, lift_half: jnp.ndarray, n: int,
+                          floor_db: float) -> jnp.ndarray:
+    P = dft.quefrency_filter(P, lift_half, n)
+    floor = jnp.maximum(
+        jnp.max(P, axis=1, keepdims=True) * 10.0 ** (floor_db / 10.0),
+        prim.POWER_FLOOR)
+    L = jnp.log(jnp.maximum(P, floor))
+    C = jnp.asarray(dft.cepstrum_basis(n), L.dtype)
+    return jnp.matmul(L, C, precision=dft.DFT_PRECISION) * lift_half

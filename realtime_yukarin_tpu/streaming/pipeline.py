@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from realtime_yukarin_tpu.config import Config, resolve_vocoder_mode
+from realtime_yukarin_tpu.dsp.envelope import power_spectrogram
 from realtime_yukarin_tpu.dsp.f0 import (estimate_f0_raw, f0_candidates,
                                          viterbi_snap, voicing_revision)
 from realtime_yukarin_tpu.dsp.framing import median3
@@ -152,15 +153,20 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
                                    cand_ext[lo: lo + Fc + 2 * halo],
                                    cost_ext[lo: lo + Fc + 2 * halo],
                                    cfg.dsp)
+    # ONE power spectrogram for voicing revision + refinement + envelope
+    # + aperiodicity (explicit threading — identical pallas_calls may
+    # not CSE; see dsp.envelope.power_spectrogram)
+    P = power_spectrogram(buf, Fc, cfg.dsp, off)
     # band-evidence voicing revision on the finals (frame-local given
-    # f0+choice; framing/power CSE with analyze_given_f0's below)
+    # f0+choice)
     f0_final = voicing_revision(buf, snapped[halo: halo + Fc],
-                                choice[halo: halo + Fc], Fc, cfg.dsp, off)
+                                choice[halo: halo + Fc], Fc, cfg.dsp, off,
+                                P=P)
     # refine=True: the StoneMask-role refinement runs on the fresh
     # frames' shared power spectrogram; frame-local given the snapped
     # f0, so refined values cache exactly like every other feature
     ffresh = analyze_given_f0(buf, f0_final, Fc, cfg.dsp, off,
-                              refine=True)
+                              refine=True, P=P)
 
     f0_all = jnp.concatenate([carry.f0_cache, ffresh.f0])     # [Fn - E]
     mc_all = jnp.concatenate([carry.mc_cache, ffresh.mc])

@@ -64,3 +64,63 @@ def test_harmonic_bank_padding_edges():
     out = np.asarray(harmonic_bank(amps, amps, phi, frac, interpret=True))
     assert out.shape == (R, hop)
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused analysis front-end (ops/pallas_analysis.py)
+# ---------------------------------------------------------------------------
+
+def test_power_spectrum_fused_matches_xla_interpret():
+    from realtime_yukarin_tpu.ops.pallas_analysis import (
+        power_spectrum_fused, power_spectrum_xla)
+    rng = np.random.default_rng(1)
+    n = 1022
+    frames = jnp.asarray(rng.standard_normal((40, n)) * 0.3, jnp.float32)
+    ref = np.asarray(power_spectrum_xla(frames, n))
+    out = np.asarray(power_spectrum_fused(frames, n, interpret=True))
+    scale = ref.max() + 1e-12
+    # the kernel's in-kernel bf16_3x emulation rounds through bf16 even in
+    # interpret mode, while the CPU XLA reference runs full f32 — the
+    # ~1e-5 rel-to-peak difference IS the bf16_3x error (matches the
+    # on-device kernel-vs-XLA measurement of 1.8e-5)
+    np.testing.assert_allclose(out / scale, ref / scale, rtol=0, atol=1e-4)
+
+
+def test_power_spectrum_fused_vmap_flattens():
+    """The custom_vmap rule must produce the same values as per-row calls
+    (batched serving relies on it lowering to ONE flattened kernel)."""
+    from realtime_yukarin_tpu.ops.pallas_analysis import (
+        power_spectrum_fused, power_spectrum_xla)
+    rng = np.random.default_rng(2)
+    n = 1022
+    x = jnp.asarray(rng.standard_normal((3, 7, n)) * 0.3, jnp.float32)
+    out = jax.vmap(lambda f: power_spectrum_fused(f, n, interpret=True))(x)
+    ref = np.asarray(jax.vmap(lambda f: power_spectrum_xla(f, n))(x))
+    scale = ref.max() + 1e-12
+    np.testing.assert_allclose(np.asarray(out) / scale, ref / scale,
+                               rtol=0, atol=1e-4)
+    # and the rule must agree exactly with the unbatched kernel
+    flat = power_spectrum_fused(x.reshape(-1, n), n, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1, n // 2 + 1),
+                                  np.asarray(flat))
+
+
+def test_envelope_cepstrum_fused_matches_xla_interpret(dsp_cfg=None):
+    from realtime_yukarin_tpu.config import DspConfig
+    from realtime_yukarin_tpu.ops.pallas_analysis import (
+        envelope_cepstrum_fused, envelope_cepstrum_xla)
+    cfg = DspConfig()
+    n = cfg.fft_size
+    K = n // 2 + 1
+    rng = np.random.default_rng(3)
+    P = jnp.asarray(rng.uniform(0, 1, (24, K)) ** 2 * 1e-2, jnp.float32)
+    f0 = rng.uniform(80, 300, 24)
+    t_q = np.arange(K) / cfg.sample_rate
+    lift = jnp.asarray(np.sinc(f0[:, None] * t_q[None, :]), jnp.float32)
+    ref = np.asarray(envelope_cepstrum_xla(P, lift, n,
+                                           cfg.envelope_floor_db))
+    out = np.asarray(envelope_cepstrum_fused(P, lift, n,
+                                             cfg.envelope_floor_db,
+                                             interpret=True))
+    scale = np.abs(ref).max() + 1e-12
+    np.testing.assert_allclose(out / scale, ref / scale, rtol=0, atol=1e-4)

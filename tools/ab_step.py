@@ -87,8 +87,8 @@ def main() -> None:
     import realtime_yukarin_tpu.dsp.world as world_mod
     orig = world_mod.analyze_given_f0
 
-    def no_refine(wave, f0, F, dcfg, off, refine=False):
-        return orig(wave, f0, F, dcfg, off, refine=False)
+    def no_refine(wave, f0, F, dcfg, off, refine=False, **kw):
+        return orig(wave, f0, F, dcfg, off, refine=False, **kw)
     import realtime_yukarin_tpu.streaming.pipeline as pl_mod
     try:
         world_mod.analyze_given_f0 = no_refine
@@ -104,6 +104,15 @@ def main() -> None:
     cfg_nosnap = dataclasses.replace(
         cfg, dsp=dataclasses.replace(cfg.dsp, f0_snap_halo=0))
     add_step_variant("step_nosnap", cfg_nosnap)
+
+    # pallas fused analysis vs plain XLA matmul analysis (VERDICT r3 #2)
+    import realtime_yukarin_tpu.ops.pallas_analysis as pa
+    orig_up = pa.use_pallas
+    try:
+        pa.use_pallas = lambda: False
+        add_step_variant("step_xla_analysis", cfg)
+    finally:
+        pa.use_pallas = orig_up
 
     names = list(variants)
     results = {n: [] for n in names}
