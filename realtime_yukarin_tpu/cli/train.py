@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--gan", action="store_true",
                    help="adversarial stage-2 objective")
-    p.add_argument("--adv_weight", type=float, default=0.1)
+    p.add_argument("--adv_weight", type=float, default=0.02)
     p.add_argument("--ckpt_every", type=int, default=200)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--model_parallel", type=int, default=1)
