@@ -137,16 +137,23 @@ class DspConfig:
     # --- full-rate voicing revision (the role of D4C's LoveTrain band
     # evidence, upstream:mmorise/World src/d4c.cpp): after the lattice
     # snap, per-frame and frame-local (streaming stays exact):
-    # DEMOTE a voiced frame when the minimum sub-block energy across its
-    # fft window falls below this fraction of the mean sub-block energy —
-    # i.e. part of the window is silent, so the frame is not confidently
-    # voiced (silence-adjacent boundary frames whose wide window leaks
-    # periodicity).  Voiced speech never dips this low: between glottal
-    # pulses the formant ringing keeps sub-5 ms blocks within ~x30 of
-    # the mean (measured on the formant fixture: min ratio 2e-2 voiced
-    # vs < 1e-4 for boundary frames).
+    # DEMOTE a voiced frame when the minimum energy over the
+    # ``voicing_blocks`` hop-blocks centered on it falls below this
+    # fraction of their mean — i.e. part of the window is silent, so the
+    # frame is not confidently voiced (silence-adjacent boundary frames
+    # whose wide spectral window leaks periodicity).  Voiced speech
+    # never dips this low: between glottal pulses the formant ringing
+    # keeps 5 ms blocks within ~x30 of the mean (measured on the formant
+    # fixture: min ratio ~1e-2 voiced vs < 1e-4 for boundary frames).
+    # Blocks are HOP-ALIGNED and non-overlapping: the energies come from
+    # one [F+blocks, hop] reshape-style framing instead of a second
+    # [F, fft+2*hop] frame materialization, and the half-window (5 hops
+    # = 600 samples) stays inside the fft analysis halo, so the revision
+    # adds no lookahead.  The outer margin beyond the confidence label's
+    # +-22 ms is 72 samples < 1 block, so a confidently-voiced frame can
+    # never contain a fully-silent block (recall-safe by construction).
     voicing_block_ratio: float = 0.003
-    voicing_blocks: int = 8
+    voicing_blocks: int = 10
     # RESCUE a CMND-unvoiced frame when its lattice candidate shows high
     # LOW-BAND periodicity (breathy/jittery voicing keeps a periodic
     # low band while high-band turbulence drags the full-band CMND above
@@ -158,13 +165,9 @@ class DspConfig:
 
     @property
     def voicing_energy_win(self) -> int:
-        """Samples of the block-energy confidence window: one hop wider
-        than the fft window PER SIDE, so a silence boundary just outside
-        the spectral window (which still leaks into the label's
-        confidence region) fills at least one sub-block.  Widest window
-        in the analysis chain — streaming geometry sizes its halo by it
-        (costs one extra frame of algorithmic lookahead)."""
-        return self.fft_size + 2 * self.hop
+        """Samples spanned by the hop-aligned block-energy confidence
+        window (``voicing_blocks`` hops, centered)."""
+        return self.voicing_blocks * self.hop
     # Viterbi path cost per octave of frame-to-frame log-f0 movement.
     # Sized against CMND depth differences: a 1-octave jump must buy at
     # least this much total dip-depth advantage over the window to win

@@ -292,10 +292,10 @@ def voicing_revision(x: jnp.ndarray, f0: jnp.ndarray, choice: jnp.ndarray,
     upstream:mmorise/World src/d4c.cpp).  Frame-local given (f0, choice),
     so streaming caches stay exact.  Two rules (DspConfig voicing_*):
 
-    DEMOTE: a voiced frame whose fft window contains a near-silent
-    sub-block (min/mean block energy < voicing_block_ratio) is not
-    confidently voiced — its wide window leaked periodicity across a
-    silence boundary.
+    DEMOTE: a voiced frame whose hop-aligned block window contains a
+    near-silent block (min/mean block energy < voicing_block_ratio) is
+    not confidently voiced — its wide spectral window leaked
+    periodicity across a silence boundary.
 
     RESCUE: a CMND-unvoiced frame whose lattice ``choice`` candidate has
     low-band periodicity >= voicing_rescue_plow AND whose low band
@@ -311,12 +311,16 @@ def voicing_revision(x: jnp.ndarray, f0: jnp.ndarray, choice: jnp.ndarray,
     from realtime_yukarin_tpu.dsp.envelope import power_spectrogram
     N = cfg.fft_size
     fs = float(cfg.sample_rate)
+    hop = cfg.hop
     M = cfg.voicing_blocks
-    NE = cfg.voicing_energy_win
-    B = NE // M
-    frames = extract_centered_frames(x, num_frames, cfg.hop, NE,
-                                     center_offset)
-    be = jnp.sum(frames[:, : M * B].reshape(num_frames, M, B) ** 2, axis=2)
+    # one hop-grid framing yields every frame's M blocks: block m covers
+    # [center_offset + m*hop, +hop), frame i's window is blocks
+    # [i - M/2, i + M/2) — non-overlapping, so this is a reshape-cost
+    # operation, not a second [F, fft]-scale materialization
+    eb = extract_centered_frames(x, num_frames + M, hop, hop,
+                                 center_offset - (M // 2) * hop + hop // 2)
+    e = jnp.sum(eb * eb, axis=-1)                       # [F + M]
+    be = jnp.stack([e[k: k + num_frames] for k in range(M)], axis=1)
     conf = jnp.min(be, axis=1) / (jnp.mean(be, axis=1) + 1e-20)
     energy_ok = conf >= cfg.voicing_block_ratio
 

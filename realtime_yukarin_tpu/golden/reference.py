@@ -290,18 +290,26 @@ def voicing_revision(x: np.ndarray, f0: np.ndarray, choice: np.ndarray,
     a meaningful low-band energy share."""
     N = cfg.fft_size
     fs = float(cfg.sample_rate)
+    hop = cfg.hop
     M = cfg.voicing_blocks
-    NE = cfg.voicing_energy_win
-    B = NE // M
     w = prim.hann(N)
     frames = extract_centered_frames(x, num_frames, cfg.hop, N)
-    eframes = extract_centered_frames(x, num_frames, cfg.hop, NE)
     kb = np.arange(N // 2 + 1) * fs / N
     w_low = kb < cfg.voicing_low_band_hz
+    T = len(x)
+
+    def block_e(b: int) -> float:
+        """Energy of hop-block [b*hop, (b+1)*hop), zero outside x
+        (mirrors dsp.f0.voicing_revision's hop-grid framing)."""
+        lo, hi = max(b * hop, 0), min((b + 1) * hop, T)
+        if lo >= hi:
+            return 0.0
+        seg = np.asarray(x[lo:hi], np.float64)
+        return float(np.sum(seg * seg))
+
     out = f0.copy()
     for i in range(num_frames):
-        be = np.array([np.sum(eframes[i, m * B:(m + 1) * B] ** 2)
-                       for m in range(M)])
+        be = np.array([block_e(i + m - M // 2) for m in range(M)])
         energy_ok = (be.min() / (be.mean() + 1e-20)
                      >= cfg.voicing_block_ratio)
         if not energy_ok:
