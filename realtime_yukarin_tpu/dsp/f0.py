@@ -111,8 +111,9 @@ def estimate_f0(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     contractions; likewise the candidate extraction CSEs with the raw
     estimate's CMND."""
     from realtime_yukarin_tpu.dsp.envelope import power_spectrogram
-    f0 = median3(estimate_f0_raw(x, num_frames, cfg, center_offset))
-    cand_f0, cand_cost = f0_candidates(x, num_frames, cfg, center_offset)
+    raw, cand_f0, cand_cost = f0_raw_and_candidates(x, num_frames, cfg,
+                                                    center_offset)
+    f0 = median3(raw)
     f0, choice = viterbi_snap(f0, cand_f0, cand_cost, cfg)
     P = power_spectrogram(x, num_frames, cfg, center_offset)
     f0 = voicing_revision(x, f0, choice, num_frames, cfg, center_offset,
@@ -145,15 +146,20 @@ def f0_candidates(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     DspConfig.f0_rel_bias); the reliability weight keeps strongly-
     aperiodic frames (onsets, breathy edges) from outvoting clean
     neighbors in the window DP; relative-to-best costs make emissions
-    comparable across frames.  Frame-local; under jit the CMND front
-    half CSEs with ``estimate_f0_raw``'s, so the lattice costs only the
-    top-K picks.
+    comparable across frames.  Frame-local.  Hot-path callers use
+    ``f0_raw_and_candidates`` to share the CMND front half with the raw
+    estimate explicitly (no CSE reliance).
     """
+    dp, e0 = _cmnd_and_energy(x, num_frames, cfg, center_offset)
+    return _candidates_from_cmnd(dp, e0, cfg)
+
+
+def _candidates_from_cmnd(dp: jnp.ndarray, e0: jnp.ndarray, cfg: DspConfig
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
     K = cfg.f0_cand_k
     W = cfg.f0_window_d
     lmin, lmax = cfg.lag_min_d, cfg.lag_max_d
     fs = float(cfg.f0_fs_d)
-    dp, e0 = _cmnd_and_energy(x, num_frames, cfg, center_offset)
     F = dp.shape[0]
 
     r = dp[:, lmin: lmax + 1]                                # [F, R]
@@ -401,9 +407,9 @@ def _cmnd_and_energy(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     """Shared front half of the period search: framing, anti-alias +
     decimate, CMND.  Returns (dp [F, lag_max_d+1], frame energy e0 [F]).
 
-    Both ``estimate_f0_raw`` and ``f0_candidates`` call this with
-    identical arguments — under jit the two calls are one subgraph (XLA
-    CSE), so the candidate lattice costs only its own top-K extraction.
+    Callers that need BOTH the raw estimate and the candidate lattice
+    use ``f0_raw_and_candidates`` so the CMND is computed exactly once
+    by construction (no CSE reliance).
     """
     hop, W = cfg.hop, cfg.f0_window_d
     lmax = cfg.lag_max_d
@@ -428,10 +434,29 @@ def estimate_f0_raw(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
     the analysis window placement.  The streaming layer caches raw values
     across chunks and applies the 3-tap median itself (the median couples
     neighboring frames, so it must see the cached neighbor)."""
+    dp, e0 = _cmnd_and_energy(x, num_frames, cfg, center_offset)
+    return _select_f0_from_cmnd(dp, e0, cfg)
+
+
+def f0_raw_and_candidates(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
+                          center_offset: int = 0
+                          ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(raw f0 [F], cand_f0 [F, K], emis [F, K]) from ONE CMND pass.
+
+    The hot path's entry point: the expensive front half (framing,
+    decimation, DFT cross-correlation, CMND) is shared explicitly
+    between the raw selection and the candidate lattice."""
+    dp, e0 = _cmnd_and_energy(x, num_frames, cfg, center_offset)
+    raw = _select_f0_from_cmnd(dp, e0, cfg)
+    cand, emis = _candidates_from_cmnd(dp, e0, cfg)
+    return raw, cand, emis
+
+
+def _select_f0_from_cmnd(dp: jnp.ndarray, e0: jnp.ndarray, cfg: DspConfig
+                         ) -> jnp.ndarray:
     W = cfg.f0_window_d
     lmin, lmax = cfg.lag_min_d, cfg.lag_max_d
     fs = float(cfg.f0_fs_d)
-    dp, e0 = _cmnd_and_energy(x, num_frames, cfg, center_offset)
 
     # search range [lmin, lmax]
     r = dp[:, lmin: lmax + 1]                                # [F, R]

@@ -18,8 +18,8 @@ from realtime_yukarin_tpu.dsp.aperiodicity import (
 from realtime_yukarin_tpu.dsp.envelope import (log_envelope_and_mcep,
                                                power_spectrogram,
                                                spectral_envelope)
-from realtime_yukarin_tpu.dsp.f0 import (estimate_f0, estimate_f0_raw,
-                                         f0_candidates,
+from realtime_yukarin_tpu.dsp.f0 import (estimate_f0,
+                                         f0_raw_and_candidates,
                                          refine_f0_from_power, viterbi_snap,
                                          voicing_revision)
 from realtime_yukarin_tpu.dsp.framing import median3
@@ -50,9 +50,9 @@ def analyze(wave: jnp.ndarray, num_frames: int, cfg: DspConfig,
     D4C roles).  ``num_frames`` is static; callers derive it from the chunk
     geometry so every shape is fixed under jit.
     """
-    f0 = median3(estimate_f0_raw(wave, num_frames, cfg, center_offset))
-    cand_f0, cand_cost = f0_candidates(wave, num_frames, cfg, center_offset)
-    f0, choice = viterbi_snap(f0, cand_f0, cand_cost, cfg)
+    raw, cand_f0, cand_cost = f0_raw_and_candidates(wave, num_frames, cfg,
+                                                    center_offset)
+    f0, choice = viterbi_snap(median3(raw), cand_f0, cand_cost, cfg)
     # one power spectrogram for voicing revision + refinement + envelope
     # + aperiodicity (explicit threading, not CSE — see power_spectrogram)
     P = power_spectrogram(wave, num_frames, cfg, center_offset)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from realtime_yukarin_tpu.config import Config, resolve_vocoder_mode
 from realtime_yukarin_tpu.dsp.envelope import power_spectrogram
-from realtime_yukarin_tpu.dsp.f0 import (estimate_f0_raw, f0_candidates,
+from realtime_yukarin_tpu.dsp.f0 import (f0_raw_and_candidates,
                                          viterbi_snap, voicing_revision)
 from realtime_yukarin_tpu.dsp.framing import median3
 from realtime_yukarin_tpu.dsp.synthesis import render, synthesize
@@ -131,10 +131,10 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     E = geo.f0_edge
     fresh = geo.fresh_frames                     # Fc + E raw frames
     off = geo.buf_frame0_offset + C * hop
-    raw_fresh = estimate_f0_raw(buf, fresh, cfg.dsp, off)
-    # top-K dip candidates for the same frames — the CMND front half
-    # CSEs with estimate_f0_raw's under jit (identical subgraph)
-    cand_fresh, cost_fresh = f0_candidates(buf, fresh, cfg.dsp, off)
+    # raw F0 + top-K dip candidates from ONE CMND pass (explicitly
+    # shared front half — no CSE reliance)
+    raw_fresh, cand_fresh, cost_fresh = f0_raw_and_candidates(
+        buf, fresh, cfg.dsp, off)
     raw_ext = jnp.concatenate([carry.f0_raw_prev, raw_fresh])
     cand_ext = jnp.concatenate([carry.f0_cand_prev, cand_fresh])
     cost_ext = jnp.concatenate([carry.f0_cost_prev, cost_fresh])
