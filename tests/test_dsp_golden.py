@@ -8,6 +8,7 @@ obviously-correct float64 golden implementation within float32 tolerance.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from realtime_yukarin_tpu.dsp import primitives as prim
@@ -322,3 +323,26 @@ def test_synthesis_carry_continuity(dsp_cfg):
     scale = np.abs(full).max() + 1e-9
     np.testing.assert_allclose(chunked / scale, full / scale, rtol=0,
                                atol=2e-3)
+
+
+def test_explicit_p_threading_identical(dsp_cfg):
+    """analyze_given_f0 / voicing_revision accept a precomputed power
+    spectrogram (the hot path threads ONE P explicitly because identical
+    pallas_calls may not CSE); passing it must be bit-identical to the
+    internal computation."""
+    from realtime_yukarin_tpu.dsp.envelope import power_spectrogram
+    from realtime_yukarin_tpu.dsp.f0 import voicing_revision
+    from realtime_yukarin_tpu.dsp.world import analyze_given_f0
+    x = jnp.asarray(make_test_signal("formant", 0.3, dsp_cfg.sample_rate),
+                    jnp.float32)
+    F = _frames(x, dsp_cfg)
+    f0 = jnp.full((F,), 150.0, jnp.float32)
+    P = power_spectrogram(x, F, dsp_cfg)
+    a = analyze_given_f0(x, f0, F, dsp_cfg, refine=True)
+    b = analyze_given_f0(x, f0, F, dsp_cfg, refine=True, P=P)
+    for l1, l2 in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    choice = jnp.full((F,), 150.0, jnp.float32)
+    v1 = voicing_revision(x, f0, choice, F, dsp_cfg)
+    v2 = voicing_revision(x, f0, choice, F, dsp_cfg, P=P)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
