@@ -16,10 +16,8 @@ from realtime_yukarin_tpu.config import DspConfig
 from realtime_yukarin_tpu.dsp.aperiodicity import (
     band_aperiodicity_from_power)
 from realtime_yukarin_tpu.dsp.envelope import (log_envelope_and_mcep,
-                                               power_spectrogram,
-                                               spectral_envelope)
-from realtime_yukarin_tpu.dsp.f0 import (estimate_f0,
-                                         f0_raw_and_candidates,
+                                               power_spectrogram)
+from realtime_yukarin_tpu.dsp.f0 import (f0_raw_and_candidates,
                                          refine_f0_from_power, viterbi_snap,
                                          voicing_revision)
 from realtime_yukarin_tpu.dsp.framing import median3

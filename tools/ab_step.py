@@ -29,7 +29,6 @@ from realtime_yukarin_tpu.config import Config
 from realtime_yukarin_tpu.models.voice_changer import init_params
 from realtime_yukarin_tpu.streaming.pipeline import (init_stream,
                                                      streaming_step_impl)
-from realtime_yukarin_tpu.streaming.state import StreamGeometry
 
 B = 512
 LOOP = 30
