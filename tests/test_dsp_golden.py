@@ -108,10 +108,11 @@ def test_f0_ground_truth_sweep(dsp_cfg):
     err = _cents(jj[voiced], tt[voiced])
     # the coarse CMND window spans ~40 ms, so a 2.5 Hz vibrato is averaged
     # over a swing of tens of Hz; the Hann-windowed refinement halves the
-    # effective window and parabolic-fits the true peak.  Measured:
-    # p50 4.2 / p95 23.3 cents (VERDICT r2 asked p50<20 / p95<50)
+    # effective window and parabolic-fits the true peak.  Measured
+    # (re-verified round 4 with the lattice tracker): p50 4.2 / p95 23.3
+    # / max 29 cents (VERDICT r2 asked p50<20 / p95<50)
     assert np.percentile(err, 50) < 10.0, f"median cents {np.median(err)}"
-    assert np.percentile(err, 95) < 35.0, f"p95 cents"
+    assert np.percentile(err, 95) < 30.0, f"p95 cents"
 
 
 def test_f0_octave_robust_weak_fundamental(dsp_cfg):

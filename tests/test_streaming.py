@@ -70,17 +70,19 @@ def test_streamed_equals_offline(params, cfg, use_sr, kind):
                                offline[lo:hi] / scale, rtol=0, atol=2e-3)
 
 
-def test_streamed_equals_offline_small_chunks(params):
+@pytest.mark.parametrize("kind", ["sweep", "formant"])
+def test_streamed_equals_offline_small_chunks(params, kind):
     """chunk_ms is a real knob (BASELINE config #2 uses 100 ms): a 40 ms
     hop changes the whole chunk geometry and must still stream-equal the
-    offline path on the interior."""
+    offline path on the interior — on the stationary sweep AND the
+    formant class."""
     import dataclasses
 
     from realtime_yukarin_tpu.config import StreamingConfig
 
     cfg = dataclasses.replace(Config(),
                               streaming=StreamingConfig(chunk_ms=40.0))
-    x = make_test_signal("sweep", 0.8, cfg.dsp.sample_rate).astype(np.float32)
+    x = make_test_signal(kind, 0.8, cfg.dsp.sample_rate).astype(np.float32)
     S = cfg.streaming.chunk_samples(cfg.dsp)
     x = x[: (len(x) // S) * S]
     F = len(x) // cfg.dsp.hop
