@@ -347,3 +347,30 @@ def test_explicit_p_threading_identical(dsp_cfg):
     v1 = voicing_revision(x, f0, choice, F, dsp_cfg)
     v2 = voicing_revision(x, f0, choice, F, dsp_cfg, P=P)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_f0_low_latency_profile_tradeoff(dsp_cfg):
+    """The low-latency profile (f0_snap_halo=0) drops the Viterbi window
+    (15 ms of lookahead) but keeps the per-frame candidate choice and the
+    band-evidence voicing revision.  Measured cost of the knob on the
+    formant seeds: 0-7 octave-slip frames per utterance (vs 0 on every
+    seed with the default halo) while voicing quality is unchanged
+    (recall 1.0, false voicing 0.024 — the revision is halo-independent).
+    This test pins the floor so a regression in the halo-0 path (the
+    profile bench.py publishes) cannot hide."""
+    import dataclasses
+    from conftest import make_formant_utterance
+    cfg = dataclasses.replace(dsp_cfg, f0_snap_halo=0)
+    fs = cfg.sample_rate
+    worst_oct = 0
+    for seed in (0, 3):           # the seeds with diplophonia pressure
+        x, f0_true, voiced_true = make_formant_utterance(1.0, fs, seed=seed)
+        F = len(x) // cfg.hop
+        j = np.asarray(estimate_f0(jnp.asarray(x, jnp.float32), F, cfg))
+        vt = voiced_true[:F]
+        assert (j[:F][vt] > 0).mean() > 0.95
+        assert (j[:F][~vt] > 0).mean() < 0.05
+        v = vt & (j[:F] > 0)
+        err = _cents(j[:F][v], f0_true[:F][v])
+        worst_oct = max(worst_oct, int((err > 600).sum()))
+    assert worst_oct <= 10, f"halo-0 octave frames regressed: {worst_oct}"
