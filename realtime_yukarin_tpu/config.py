@@ -329,6 +329,16 @@ class VocoderWaveConfig:
     num_blocks: int = 4
     kernel_size: int = 3
     phase_harmonics: int = 12
+    # Learnable FRACTIONAL phase tracks: extra comb heads whose phase is
+    # r_j * excitation phase with r_j a trainable ratio (init spread on
+    # half-integers).  Integer combs can only phase-lock residuals to
+    # harmonics; real voices also carry coherent NON-harmonic partials
+    # (subglottal/nasal side resonances — the corpus fixture's 1.62*f0
+    # component), which an OLA of phase-free bins can place in band but
+    # never keep phase-coherent.  A constant ratio keeps streaming
+    # exactness (r * boundary_phase is as chunk-continuous as the
+    # boundary phase itself).  0 disables.
+    phase_fractional: int = 4
 
     @property
     def context_frames(self) -> int:

@@ -41,14 +41,22 @@ from realtime_yukarin_tpu.ops import dft
 
 
 class WaveDecoderNet(nn.Module):
-    """Conditioning [B, T, D] (+ phase combs) -> complex residual spectra.
+    """Conditioning [B, T, D] (+ boundary phase) -> complex residual
+    spectra.
 
-    ``__call__(x, cosm, sinm, out_start, out_len)`` runs the conv stack
-    over all T rows (SAME padding — callers supply ``context_frames``
-    halo rows and slice, exactly like the other model stages), then
-    applies the heads only to rows [out_start, out_start+out_len) — the
-    rows whose boundary phase the caller knows.  cosm/sinm: [out_len, P]
-    cos/sin of (m * boundary_phase).
+    ``__call__(x, bphase, out_start, out_len)`` runs the conv stack over
+    all T rows (SAME padding — callers supply ``context_frames`` halo
+    rows and slice, exactly like the other model stages), then applies
+    the heads only to rows [out_start, out_start+out_len) — the rows
+    whose boundary phase ``bphase`` [..., out_len] the caller knows.
+
+    Phase tracks: P integer combs (m * phi, residual harmonics
+    phase-locked to the excitation) plus Q LEARNABLE fractional ratios
+    (r_j * phi, init on half-integers): coherent NON-harmonic partials
+    (subglottal/nasal side resonances) are representable only this way —
+    an OLA of phase-free bins places band energy but cannot keep it
+    phase-coherent across 4x-overlapped windows.  Constant ratios keep
+    streaming exactness (r*phi is as chunk-continuous as phi).
     """
 
     cfg: VocoderWaveConfig
@@ -56,10 +64,11 @@ class WaveDecoderNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cosm: jnp.ndarray, sinm: jnp.ndarray,
+    def __call__(self, x: jnp.ndarray, bphase: jnp.ndarray,
                  out_start: int, out_len: int):
         c = self.cfg
         P = c.phase_harmonics
+        Q = c.phase_fractional
         K = self.k_res
         h = nn.Conv(c.hidden, (1,), dtype=self.dtype, name="stem")(x)
         for i in range(c.num_blocks):
@@ -68,14 +77,26 @@ class WaveDecoderNet(nn.Module):
             h = h + r
         h = nn.gelu(h)[..., out_start: out_start + out_len, :]
         zeros = nn.initializers.zeros
+        # phase multipliers: integer combs + learnable fractional ratios
+        m_int = jnp.arange(1, P + 1, dtype=jnp.float32)
+        if Q > 0:
+            ratios = self.param(
+                "frac_ratios",
+                lambda _key: 0.5 + jnp.arange(Q, dtype=jnp.float32))
+            mults = jnp.concatenate([m_int, ratios])
+        else:
+            mults = m_int
+        ang = bphase[..., :, None].astype(jnp.float32) * mults
+        cosm, sinm = jnp.cos(ang), jnp.sin(ang)      # [..., out_len, P+Q]
         # phase-free residual (noise/transients) ...
         base = nn.Conv(2 * K, (1,), dtype=self.dtype, kernel_init=zeros,
                        name="base_head")(h).astype(jnp.float32)
         b_re, b_im = jnp.split(base, 2, axis=-1)
-        # ... plus P phase-locked combs: spec += sum_m C_m e^{j m phi}
-        comb = nn.Conv(2 * P * K, (1,), dtype=self.dtype, kernel_init=zeros,
+        # ... plus phase-locked combs: spec += sum_m C_m e^{j mult_m phi}
+        comb = nn.Conv(2 * (P + Q) * K, (1,), dtype=self.dtype,
+                       kernel_init=zeros,
                        name="comb_head")(h).astype(jnp.float32)
-        comb = comb.reshape(comb.shape[:-1] + (2, P, K))
+        comb = comb.reshape(comb.shape[:-1] + (2, P + Q, K))
         c_re, c_im = comb[..., 0, :, :], comb[..., 1, :, :]
         hp = jax.lax.Precision.HIGHEST
         re = (b_re + jnp.einsum("...pk,...p->...k", c_re, cosm, precision=hp)
@@ -87,13 +108,6 @@ class WaveDecoderNet(nn.Module):
 
 def residual_bins(dsp_cfg: DspConfig) -> int:
     return prim.noise_fft_size(dsp_cfg.hop) // 2 + 1
-
-
-def _phase_combs(boundaries: jnp.ndarray, P: int
-                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    m = jnp.arange(1, P + 1, dtype=boundaries.dtype)
-    ang = boundaries[..., None] * m
-    return jnp.cos(ang), jnp.sin(ang)
 
 
 def waveform_vocode(params, f0, env, ap, mc, noise,
@@ -122,13 +136,12 @@ def waveform_vocode(params, f0, env, ap, mc, noise,
                                     carry.synth)
 
     x = vocoder_inputs(f0, mc, ap).astype(dtype)
-    cosm, sinm = _phase_combs(track.boundaries, wd_cfg.phase_harmonics)
+    bphase = track.boundaries
     net = WaveDecoderNet(wd_cfg, residual_bins(dsp_cfg), dtype)
     squeeze = x.ndim == 2
     if squeeze:
-        x, cosm, sinm = x[None], cosm[None], sinm[None]
-    re, im = net.apply(params, x, cosm.astype(dtype), sinm.astype(dtype),
-                       out_ctx, F)
+        x, bphase = x[None], bphase[None]
+    re, im = net.apply(params, x, bphase, out_ctx, F)
     if squeeze:
         re, im = re[0], im[0]
 
@@ -144,7 +157,5 @@ def init_wave_params(key: jax.Array, wd_cfg: VocoderWaveConfig,
                      dsp_cfg: DspConfig, dtype=jnp.float32):
     net = WaveDecoderNet(wd_cfg, residual_bins(dsp_cfg), dtype)
     d_in = dsp_cfg.mc_dim + dsp_cfg.num_ap_bands + 2
-    P = wd_cfg.phase_harmonics
     return net.init(key, jnp.zeros((1, 8, d_in), jnp.float32),
-                    jnp.zeros((1, 6, P), jnp.float32),
-                    jnp.zeros((1, 6, P), jnp.float32), 1, 6)
+                    jnp.zeros((1, 6), jnp.float32), 1, 6)
