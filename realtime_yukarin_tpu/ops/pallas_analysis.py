@@ -45,8 +45,22 @@ ROW_TILE = 256
 
 
 def use_pallas() -> bool:
-    """Fused kernels only on real TPU; XLA path everywhere else."""
-    return jax.default_backend() == "tpu"
+    """Fused-kernel dispatch: opt-in on real TPU, off elsewhere.
+
+    Default OFF after measurement: a 517-burst best-of interleaved A/B
+    of the full streaming step (tools/ab_step.py methodology, quietest
+    windows of a 10-minute run) measured the fused kernels 1.8 % SLOWER
+    than the XLA path (22.97 vs 22.56 ms/step @512 streams) — XLA
+    already fuses the windowing/|.|^2/lifter elementwise chains into
+    its better-tuned DFT matmul kernels, so the ~0.3 ms of HBM
+    round-trips the kernels save is offset by Mosaic's matmul
+    scheduling and the in-kernel bf16_3x split overhead.  The kernels
+    stay fully wired (parity-tested, custom_vmap batched) as the
+    measured reference point; opt in with RY_TPU_PALLAS_ANALYSIS=1.
+    """
+    import os
+    return (os.environ.get("RY_TPU_PALLAS_ANALYSIS", "") == "1"
+            and jax.default_backend() == "tpu")
 
 
 # Mosaic rejects Precision.HIGH, so bf16_3x (what XLA's HIGH does on f32

@@ -104,12 +104,12 @@ def main() -> None:
         cfg, dsp=dataclasses.replace(cfg.dsp, f0_snap_halo=0))
     add_step_variant("step_nosnap", cfg_nosnap)
 
-    # pallas fused analysis vs plain XLA matmul analysis (VERDICT r3 #2)
+    # pallas fused analysis vs the (default) XLA matmul analysis
     import realtime_yukarin_tpu.ops.pallas_analysis as pa
     orig_up = pa.use_pallas
     try:
-        pa.use_pallas = lambda: False
-        add_step_variant("step_xla_analysis", cfg)
+        pa.use_pallas = lambda: jax.default_backend() == "tpu"
+        add_step_variant("step_pallas_analysis", cfg)
     finally:
         pa.use_pallas = orig_up
 
