@@ -215,7 +215,8 @@ def _candidates_from_cmnd(dp: jnp.ndarray, e0: jnp.ndarray, cfg: DspConfig
 
 
 def viterbi_snap(f0: jnp.ndarray, cand_f0: jnp.ndarray,
-                 cand_cost: jnp.ndarray, cfg: DspConfig) -> jnp.ndarray:
+                 cand_cost: jnp.ndarray, cfg: DspConfig
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Bounded-window Viterbi contour selection (Harvest contour-DP role;
     see DspConfig.f0_snap_halo/f0_trans_weight): each voiced frame is
     re-decided among its top-K CMND candidates by the minimum-cost path

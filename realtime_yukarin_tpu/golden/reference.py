@@ -220,7 +220,8 @@ def f0_candidates(x: np.ndarray, num_frames: int, cfg: DspConfig
 
 
 def viterbi_snap(f0: np.ndarray, cand_f0: np.ndarray,
-                 cand_cost: np.ndarray, cfg: DspConfig) -> np.ndarray:
+                 cand_cost: np.ndarray, cfg: DspConfig
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """Bounded-window Viterbi contour selection (Harvest contour-DP
     role).  Loop-style mirror of ``dsp.f0.viterbi_snap``: each voiced
     frame is re-decided among its top-K candidates by the minimum-cost
