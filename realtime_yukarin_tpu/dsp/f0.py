@@ -326,18 +326,30 @@ def voicing_revision(x: jnp.ndarray, f0: jnp.ndarray, choice: jnp.ndarray,
     # operation, not a second [F, fft]-scale materialization
     eb = extract_centered_frames(x, num_frames + M, hop, hop,
                                  center_offset - (M // 2) * hop + hop // 2)
-    e = jnp.sum(eb * eb, axis=-1)                       # [F + M]
+    # DC-corrected block energies (see _cmnd_and_energy): a DC offset
+    # would otherwise make every block's energy ~equal and disable the
+    # silence-boundary DEMOTE rule entirely.  Subtract-then-square (not
+    # the algebraic sum(x^2) - (sum x)^2/n form): at low gain under a
+    # DC offset the algebraic form cancels two large f32 terms and the
+    # rounding noise swamps the true variance.
+    e = jnp.sum((eb - jnp.mean(eb, axis=-1, keepdims=True)) ** 2,
+                axis=-1)                                # [F + M]
     be = jnp.stack([e[k: k + num_frames] for k in range(M)], axis=1)
     conf = jnp.min(be, axis=1) / (jnp.mean(be, axis=1) + 1e-20)
     energy_ok = conf >= cfg.voicing_block_ratio
 
     if P is None:
         P = power_spectrogram(x, num_frames, cfg, center_offset)
-    w_low = jnp.asarray(
-        (jnp.arange(N // 2 + 1) * (fs / N)) < cfg.voicing_low_band_hz,
-        P.dtype)
+    freqs = jnp.arange(N // 2 + 1) * (fs / N)
+    # DC + its Hann-leakage bins are excluded from the periodicity and
+    # band-fraction evidence (see _periodicity_hp_mask): a DC-offset
+    # input would otherwise dominate Pl and read as perfect low-band
+    # periodicity at every lag.
+    hp = jnp.asarray(_periodicity_hp_mask(cfg), P.dtype)
+    w_low = (freqs < cfg.voicing_low_band_hz).astype(P.dtype) * hp
     Pl = P * w_low[None, :]
-    low_frac = jnp.sum(Pl, axis=1) / (jnp.sum(P, axis=1) + 1e-20)
+    low_frac = (jnp.sum(Pl, axis=1)
+                / (jnp.sum(P * hp[None, :], axis=1) + 1e-20))
     lag = jnp.round(fs / jnp.maximum(choice, 1.0))
     rho = (2.0 + jnp.cos(2.0 * jnp.pi * lag / N)) / 3.0
     r0 = dft.autocorr_at_lag(Pl, jnp.zeros_like(lag), N)
@@ -348,6 +360,24 @@ def voicing_revision(x: jnp.ndarray, f0: jnp.ndarray, choice: jnp.ndarray,
               & (low_frac >= cfg.voicing_low_frac))
     out = jnp.where(rescue, choice, f0)
     return jnp.where(energy_ok, out, 0.0)
+
+
+def _periodicity_hp_mask(cfg: DspConfig):
+    """[K] 0/1 mask excluding bins below 0.7*f0_floor from periodicity
+    evidence (shared by refine_f0_from_power and voicing_revision; the
+    golden reference mirrors it).
+
+    A Hann-windowed DC offset leaks into bins 0..2; those bins add a
+    near-constant term to the windowed autocorrelation at EVERY lag,
+    which drags all periodicity ratios toward 1 — measured on the
+    formant fixture at +0.1 DC, the subharmonic (octave-up) rule then
+    halves the lag twice on most voiced frames.  Content below f0_floor
+    carries no pitch information by definition, so masking it is free.
+    """
+    import numpy as np
+    N = cfg.fft_size
+    freqs = np.arange(N // 2 + 1) * (cfg.sample_rate / N)
+    return (freqs >= 0.7 * cfg.f0_floor).astype(np.float64)
 
 
 def refine_f0_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig,
@@ -367,6 +397,9 @@ def refine_f0_from_power(P: jnp.ndarray, f0: jnp.ndarray, cfg: DspConfig,
     fs = float(cfg.sample_rate)
     voiced = f0 > 0
     lag = fs / jnp.maximum(f0, 1.0)
+    # sub-f0_floor bins carry no pitch evidence and poison the ACF under
+    # a DC offset (see _periodicity_hp_mask)
+    P = P * jnp.asarray(_periodicity_hp_mask(cfg), P.dtype)[None, :]
 
     def rho(l):
         return (2.0 + jnp.cos(2.0 * jnp.pi * l / N)) / 3.0
@@ -423,6 +456,16 @@ def _cmnd_and_energy(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
                                       cfg.f0_frame_len_d), frames.dtype)
         frames = jnp.matmul(frames, D, precision=jax.lax.Precision.HIGH)
 
+    # Per-frame mean removal (frame-local, so streaming caches stay
+    # exact).  d(l) = sum (x[n]-x[n+l])^2 is DC-invariant in exact
+    # arithmetic, but the matmul factorization d = e0 + e - 2c is NOT in
+    # float32: a DC-offset input (cheap mics sit a few percent off zero)
+    # makes e and c huge while their difference stays small — measured on
+    # the formant fixture at +0.1 DC, the cancellation noise swamped the
+    # true dips and the tracker emitted garbage (octave-quadrupled F0).
+    # Subtracting the frame mean also makes the silence gate's e0 a true
+    # variance (a constant offset is not signal).
+    frames = frames - jnp.mean(frames, axis=1, keepdims=True)
     d = difference_function(frames, W, lmax)
     dp = cmnd(d)                                             # [F, lmax+1]
     e0 = jnp.sum(frames[:, :W] ** 2, axis=1)

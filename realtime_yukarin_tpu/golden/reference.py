@@ -63,6 +63,7 @@ def estimate_f0(x: np.ndarray, num_frames: int, cfg: DspConfig) -> np.ndarray:
         # sub-sample there too, so precision stays within a few cents
         s = np.array([np.dot(h, frames[i, m * R: m * R + 2 * hw + 1])
                       for m in range(FLd)])
+        s = s - s.mean()     # DC removal (mirrors dsp.f0._cmnd_and_energy)
         # squared difference function d(l) for l in [0, lmax]
         d = np.zeros(lmax + 1)
         for l in range(lmax + 1):
@@ -170,6 +171,7 @@ def f0_candidates(x: np.ndarray, num_frames: int, cfg: DspConfig
     for i in range(num_frames):
         s = np.array([np.dot(h, frames[i, m * R: m * R + 2 * hw + 1])
                       for m in range(FLd)])
+        s = s - s.mean()     # DC removal (mirrors dsp.f0._cmnd_and_energy)
         d = np.zeros(lmax + 1)
         for l in range(lmax + 1):
             diff = s[:W] - s[l:l + W]
@@ -296,7 +298,10 @@ def voicing_revision(x: np.ndarray, f0: np.ndarray, choice: np.ndarray,
     w = prim.hann(N)
     frames = extract_centered_frames(x, num_frames, cfg.hop, N)
     kb = np.arange(N // 2 + 1) * fs / N
-    w_low = kb < cfg.voicing_low_band_hz
+    # DC + Hann-leakage bins excluded from periodicity/band evidence
+    # (mirrors dsp.f0._periodicity_hp_mask)
+    hp_mask = (kb >= 0.7 * cfg.f0_floor).astype(np.float64)
+    w_low = (kb < cfg.voicing_low_band_hz) * hp_mask
     T = len(x)
 
     def block_e(b: int) -> float:
@@ -306,7 +311,9 @@ def voicing_revision(x: np.ndarray, f0: np.ndarray, choice: np.ndarray,
         if lo >= hi:
             return 0.0
         seg = np.asarray(x[lo:hi], np.float64)
-        return float(np.sum(seg * seg))
+        # DC-corrected on the zero-padded hop-block convention (divide
+        # by hop, not len(seg), to match the JAX framing's zero padding)
+        return float(max(np.sum(seg * seg) - seg.sum() ** 2 / hop, 0.0))
 
     out = f0.copy()
     for i in range(num_frames):
@@ -319,8 +326,9 @@ def voicing_revision(x: np.ndarray, f0: np.ndarray, choice: np.ndarray,
         if f0[i] > 0 or choice[i] <= 0:
             continue
         P = np.abs(np.fft.rfft(frames[i] * w)) ** 2
+        P[:2] = 0.0   # exact DC rejection (mirrors envelope.power_spectrogram)
         Pl = P * w_low
-        low_frac = Pl.sum() / (P.sum() + 1e-20)
+        low_frac = Pl.sum() / ((P * hp_mask).sum() + 1e-20)
         if low_frac < cfg.voicing_low_frac:
             continue
         lag = int(round(fs / choice[i]))
@@ -345,11 +353,15 @@ def refine_f0(x: np.ndarray, f0: np.ndarray, num_frames: int,
     fs = float(cfg.sample_rate)
     w = prim.hann(N)
     frames = extract_centered_frames(x, num_frames, cfg.hop, N)
+    # sub-f0_floor bins carry no pitch evidence and poison the ACF under
+    # a DC offset (mirrors dsp.f0._periodicity_hp_mask)
+    kb = np.arange(N // 2 + 1) * fs / N
+    hp_mask = (kb >= 0.7 * cfg.f0_floor).astype(np.float64)
     out = f0.copy()
     for i in range(num_frames):
         if f0[i] <= 0:
             continue
-        P = np.abs(np.fft.rfft(frames[i] * w)) ** 2
+        P = np.abs(np.fft.rfft(frames[i] * w)) ** 2 * hp_mask
         r = np.fft.irfft(P.astype(np.complex128), N)
         lag = fs / f0[i]
         # subharmonic (octave-up) correction — see DspConfig
@@ -411,6 +423,7 @@ def log_spectral_envelope(x: np.ndarray, f0: np.ndarray, num_frames: int,
     t_q = np.minimum(q, N - q) / fs      # symmetric quefrency in seconds
     for i in range(num_frames):
         P = np.abs(np.fft.rfft(frames[i] * w)) ** 2
+        P[:2] = 0.0   # exact DC rejection (mirrors envelope.power_spectrogram)
         f0_eff = f0[i] if f0[i] > 0 else prim.DEFAULT_F0
         lift = np.sinc(f0_eff * t_q)     # np.sinc(x) = sin(pi x)/(pi x)
         P = _quefrency_filter(P, lift)
@@ -463,6 +476,7 @@ def band_aperiodicity(x: np.ndarray, f0: np.ndarray, num_frames: int,
             continue
         lag = int(np.clip(round(fs / f0[i]), cfg.lag_min, cfg.lag_max))
         P = np.abs(np.fft.rfft(frames[i] * w)) ** 2
+        P[:2] = 0.0   # exact DC rejection (mirrors envelope.power_spectrogram)
         rho = hann_acf(lag, N)
         for b in range(B):
             r = np.fft.irfft((P * masks[b]).astype(np.complex128), N)

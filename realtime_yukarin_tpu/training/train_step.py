@@ -66,8 +66,37 @@ class Batch(NamedTuple):
     noise: jnp.ndarray        # [B, F, k_noise, 2]
 
 
+def clip_per_stage(max_norm: float) -> optax.GradientTransformation:
+    """clip_by_global_norm applied independently to each top-level subtree
+    of the params dict (stage1 / stage2 / vocoder / vocoder_wave / ...).
+
+    A single global clip couples every stage's effective step size: any
+    model change anywhere rescales all stages' updates, which made the
+    held-out GAN value margins swing across unrelated round-4 variants
+    (VERDICT r4 weak #2).  Per-stage clipping decouples them — each
+    stage's update norm depends only on its own gradients, exactly as if
+    the stages were trained in separate processes (the yukarin /
+    become-yukarin trainers each clipped their own model)."""
+    def clip_tree(tree):
+        g = optax.global_norm(tree)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(g, 1e-16))
+        return jax.tree.map(lambda u: u * scale, tree)
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        if isinstance(updates, dict):
+            return {k: clip_tree(v) for k, v in updates.items()}, state
+        return clip_tree(updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
-    return optax.chain(optax.clip_by_global_norm(1.0),
+    return optax.chain(clip_per_stage(1.0),
                        optax.adamw(lr, weight_decay=1e-5))
 
 
