@@ -28,6 +28,12 @@ except Exception:  # pragma: no cover
     _HAVE_YAML = False
 
 
+# Fraction of Nyquist above which synthesis harmonics are masked
+# (anti-aliasing guard band).  Lives here so DspConfig can derive the
+# harmonic-bank size from it; dsp.primitives re-exports it.
+HARMONIC_NYQUIST_FRACTION = 0.95
+
+
 def resolve_vocoder_mode(use_neural_vocoder: bool,
                          vocoder_mode: str | None) -> str:
     """Shared mode resolution for APIs that kept the legacy boolean:
@@ -188,7 +194,26 @@ class DspConfig:
     mcep_order: int = 59                  # mc has mcep_order+1 coefficients
     mcep_alpha: float = 0.466             # frequency-warping factor @24kHz
     # --- synthesis (harmonic + noise, DDSP-style; SURVEY.md §3.4 reborn)
-    max_harmonics: int = 128
+    # Harmonic-bank size.  None (default) derives the count that covers
+    # the full anti-alias band at the WORST-case pitch f0_floor:
+    # ceil(HARMONIC_NYQUIST_FRACTION * (fs/2) / f0_floor) = 161 at the
+    # 24 kHz / 71 Hz defaults.  WORLD's synthesis excites the entire
+    # envelope at any F0 (upstream:mmorise/World src/synthesis.cpp, per-
+    # period minimum-phase impulses cover all of Nyquist); the old fixed
+    # 128 silently truncated the voiced spectrum at 128*f0 for f0 below
+    # ~89 Hz (VERDICT r4 missing #4).  Cost is linear in the count
+    # (Pallas bank unroll): ~+26% on the harmonic branch.  COMPAT: the
+    # vocoder control net's harm_head is sized by this — checkpoints
+    # trained under the old fixed cap need `dsp: {max_harmonics: 128}`
+    # pinned (the strict loader names this knob on mismatch).
+    max_harmonics: int | None = None
+
+    @property
+    def num_harmonics(self) -> int:
+        if self.max_harmonics is not None:
+            return self.max_harmonics
+        return int(math.ceil(HARMONIC_NYQUIST_FRACTION
+                             * (self.sample_rate / 2.0) / self.f0_floor))
 
     @property
     def hop(self) -> int:

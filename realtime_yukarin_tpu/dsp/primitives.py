@@ -40,7 +40,10 @@ SILENCE_POWER = 1e-12
 POWER_FLOOR = 1e-12
 
 # Fraction of Nyquist above which harmonics are masked out (anti-aliasing).
-HARMONIC_NYQUIST_FRACTION = 0.95
+# Defined in config (DspConfig.num_harmonics derives from it); re-exported
+# here for the DSP/golden call sites.
+from realtime_yukarin_tpu.config import \
+    HARMONIC_NYQUIST_FRACTION  # noqa: E402,F401
 
 
 def hann(n: int) -> np.ndarray:

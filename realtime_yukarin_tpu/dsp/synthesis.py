@@ -84,7 +84,7 @@ def harmonic_amplitudes(f0: jnp.ndarray, env: jnp.ndarray,
     K = cfg.spec_bins
     B = cfg.num_ap_bands
     wsumsq = prim.analysis_window_sumsq(N)
-    h_idx = jnp.arange(1, cfg.max_harmonics + 1, dtype=env.dtype)
+    h_idx = jnp.arange(1, cfg.num_harmonics + 1, dtype=env.dtype)
 
     voiced = (f0 > 0).astype(env.dtype)
     f0f = jnp.where(f0 > 0, f0, prim.DEFAULT_F0)
@@ -288,7 +288,7 @@ def render_core(amps: jnp.ndarray, noise_mag: jnp.ndarray,
     else:
         a_inst = (amps[:-1, None, :] * (1.0 - frac)[None, :, None]
                   + amps[1:, None, :] * frac[None, :, None])   # [F, hop, H]
-        h_idx = jnp.arange(1, cfg.max_harmonics + 1, dtype=dtype)
+        h_idx = jnp.arange(1, cfg.num_harmonics + 1, dtype=dtype)
         harm = jnp.einsum("fnh,fnh->fn", a_inst,
                           jnp.sin(phi[:, :, None] * h_idx[None, None, :]),
                           precision=jax.lax.Precision.HIGHEST)

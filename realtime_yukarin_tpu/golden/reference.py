@@ -565,7 +565,7 @@ def synthesize(f0: np.ndarray, env: np.ndarray, ap: np.ndarray,
     fs = float(cfg.sample_rate)
     N = cfg.fft_size
     K = cfg.spec_bins
-    H = cfg.max_harmonics
+    H = cfg.num_harmonics
     n_noise = prim.noise_fft_size(hop)
     k_noise = n_noise // 2 + 1
     assert env.shape == (F + 1, K) and ap.shape[0] == F + 1

@@ -71,7 +71,7 @@ def neural_vocoder_controls(params, f0: jnp.ndarray, env: jnp.ndarray,
     """
     amps, noise_mag, f0f, voiced = synthesis_controls(f0, env, ap, dsp_cfg)
     k_noise = prim.noise_fft_size(dsp_cfg.hop) // 2 + 1
-    net = VocoderControlNet(voc_cfg, dsp_cfg.max_harmonics, k_noise, dtype)
+    net = VocoderControlNet(voc_cfg, dsp_cfg.num_harmonics, k_noise, dtype)
     x = vocoder_inputs(f0, mc, ap)
     squeeze = x.ndim == 2
     if squeeze:
@@ -97,6 +97,6 @@ def neural_vocode(params, f0, env, ap, mc, noise, voc_cfg: VocoderNNConfig,
 def init_vocoder_params(key: jax.Array, voc_cfg: VocoderNNConfig,
                         dsp_cfg: DspConfig, dtype=jnp.float32):
     k_noise = prim.noise_fft_size(dsp_cfg.hop) // 2 + 1
-    net = VocoderControlNet(voc_cfg, dsp_cfg.max_harmonics, k_noise, dtype)
+    net = VocoderControlNet(voc_cfg, dsp_cfg.num_harmonics, k_noise, dtype)
     d_in = dsp_cfg.mc_dim + dsp_cfg.num_ap_bands + 2
     return net.init(key, jnp.zeros((1, 8, d_in), jnp.float32))

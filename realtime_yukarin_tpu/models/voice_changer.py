@@ -169,6 +169,11 @@ def unflatten_params(template, flat: dict[str, np.ndarray]):
                         "snapshots trained at fft_size=1024 (513 bins) "
                         "need `dsp: {fft_size: 1024}` pinned in the "
                         "config (see config.DspConfig.fft_size)")
+            elif (128, 161) in pairs or (161, 128) in pairs:
+                hint = ("; this looks like a harmonic-bank mismatch — "
+                        "snapshots trained under the old fixed cap need "
+                        "`dsp: {max_harmonics: 128}` pinned (see "
+                        "config.DspConfig.max_harmonics)")
             raise ValueError(f"shape mismatch for {name}: file "
                              f"{arr.shape} vs model {np.shape(ref)}{hint}")
         leaves.append(jnp.asarray(arr, jnp.asarray(ref).dtype))

