@@ -228,13 +228,21 @@ def viterbi_snap(f0: jnp.ndarray, cand_f0: jnp.ndarray,
     streaming layer gets bit-exact streamed==offline with the same
     bounded lookahead the median snap had.
 
-    Vectorized fixed-shape: neighborhood stacks [F, 2H+1, K], the two
-    half-passes unrolled (H steps each) as masked [F, K, K] min-plus
-    contractions.  Matches ``golden.reference.viterbi_snap``."""
+    The window may be ASYMMETRIC (cfg.f0_snap_left_eff left frames,
+    cfg.f0_snap_halo right frames): only the RIGHT half costs lookahead
+    in streaming — left frames' candidates are already cached — so the
+    low-latency profile runs a causal DP (left=6, right=0) and keeps
+    the full window's zero-octave-slip quality (see DspConfig
+    .f0_snap_left).
+
+    Vectorized fixed-shape: neighborhood stacks [F, Hl+Hr+1, K], the two
+    half-passes unrolled as masked [F, K, K] min-plus contractions.
+    Matches ``golden.reference.viterbi_snap``."""
     F = f0.shape[0]
     K = cand_f0.shape[1]
-    H = cfg.f0_snap_halo
-    if H == 0:
+    Hl = cfg.f0_snap_left_eff
+    Hr = cfg.f0_snap_halo
+    if Hl == 0 and Hr == 0:
         # no window: the per-frame best candidate is still the rescue
         # hypothesis for the voicing revision
         k0 = jnp.argmin(cand_cost, axis=1)
@@ -242,16 +250,16 @@ def viterbi_snap(f0: jnp.ndarray, cand_f0: jnp.ndarray,
         ch0 = jnp.sum(jnp.where(ks0[None, :] == k0[:, None], cand_f0, 0.0),
                       axis=1)
         return f0, ch0
-    Wn = 2 * H + 1
+    Wn = Hl + Hr + 1
     wt = jnp.asarray(cfg.f0_trans_weight, f0.dtype)
 
-    f0_p = jnp.concatenate([jnp.zeros(H, f0.dtype), f0,
-                            jnp.zeros(H, f0.dtype)])
-    cf_p = jnp.concatenate([jnp.zeros((H, K), cand_f0.dtype), cand_f0,
-                            jnp.zeros((H, K), cand_f0.dtype)])
-    cc_p = jnp.concatenate([jnp.full((H, K), _BIG, cand_cost.dtype),
+    f0_p = jnp.concatenate([jnp.zeros(Hl, f0.dtype), f0,
+                            jnp.zeros(Hr, f0.dtype)])
+    cf_p = jnp.concatenate([jnp.zeros((Hl, K), cand_f0.dtype), cand_f0,
+                            jnp.zeros((Hr, K), cand_f0.dtype)])
+    cc_p = jnp.concatenate([jnp.full((Hl, K), _BIG, cand_cost.dtype),
                             cand_cost,
-                            jnp.full((H, K), _BIG, cand_cost.dtype)])
+                            jnp.full((Hr, K), _BIG, cand_cost.dtype)])
     nb_f = jnp.stack([cf_p[k: k + F] for k in range(Wn)], axis=1)
     nb_c = jnp.stack([cc_p[k: k + F] for k in range(Wn)], axis=1)
     nb_v = jnp.stack([f0_p[k: k + F] for k in range(Wn)], axis=1) > 0
@@ -273,18 +281,18 @@ def viterbi_snap(f0: jnp.ndarray, cand_f0: jnp.ndarray,
             msg = jnp.where(a[:, None], new, msg)
             lfp = jnp.where(a[:, None], lf[:, j], lfp)
             has = has | a
-        tr = wt * jnp.abs(lf[:, H][:, None, :] - lfp[:, :, None])
+        tr = wt * jnp.abs(lf[:, Hl][:, None, :] - lfp[:, :, None])
         return jnp.min(msg[:, :, None] + jnp.where(
             has[:, None, None], tr, 0.0), axis=1)            # [F, K]
 
-    alpha = half_pass(range(0, H))
-    beta = half_pass(range(Wn - 1, H, -1))
-    total = alpha + beta + nb_c[:, H]
+    alpha = half_pass(range(0, Hl))
+    beta = half_pass(range(Wn - 1, Hl, -1))
+    total = alpha + beta + nb_c[:, Hl]
     k_star = jnp.argmin(total, axis=1)
     ks = jnp.arange(K)
     choice = jnp.sum(jnp.where(ks[None, :] == k_star[:, None],
-                               nb_f[:, H], 0.0), axis=1)
-    apply = (f0 > 0) & act[:, H] & (choice > 0)
+                               nb_f[:, Hl], 0.0), axis=1)
+    apply = (f0 > 0) & act[:, Hl] & (choice > 0)
     # ``choice`` is also returned for UNVOICED frames (the center's
     # candidates exist even when the frame is not a path node): the
     # voicing revision uses it as the rescue hypothesis.

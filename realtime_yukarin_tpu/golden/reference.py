@@ -232,8 +232,9 @@ def viterbi_snap(f0: np.ndarray, cand_f0: np.ndarray,
     through freely.  Per-frame windowed, so bounded lookahead.  Returns
     (snapped f0, per-frame chosen candidate incl. unvoiced frames)."""
     F = len(f0)
-    H = cfg.f0_snap_halo
-    if H == 0:
+    Hl = cfg.f0_snap_left_eff
+    Hr = cfg.f0_snap_halo
+    if Hl == 0 and Hr == 0:
         ch = np.zeros(F)
         for i in range(F):
             if (cand_f0[i] > 0).any():
@@ -274,8 +275,8 @@ def viterbi_snap(f0: np.ndarray, cand_f0: np.ndarray,
     for i in range(F):
         if not (cand_f0[i] > 0).any():
             continue
-        alpha = half_pass(i, range(-H, 0))
-        beta = half_pass(i, range(H, 0, -1))
+        alpha = half_pass(i, range(-Hl, 0))
+        beta = half_pass(i, range(Hr, 0, -1))
         total = alpha + beta + emis[i]
         choice = cand_f0[i, int(np.argmin(total))]
         choices[i] = choice

@@ -129,6 +129,7 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     # step), and the E raws BEFORE the fresh range come from the carry.
     C = geo.cache_frames
     E = geo.f0_edge
+    El = geo.f0_left                             # left-context raw cache
     fresh = geo.fresh_frames                     # Fc + E raw frames
     off = geo.buf_frame0_offset + C * hop
     # raw F0 + top-K dip candidates from ONE CMND pass (explicitly
@@ -138,20 +139,22 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     raw_ext = jnp.concatenate([carry.f0_raw_prev, raw_fresh])
     cand_ext = jnp.concatenate([carry.f0_cand_prev, cand_fresh])
     cost_ext = jnp.concatenate([carry.f0_cost_prev, cost_fresh])
-    # median for frames [C-E, Fn); interior values (all we consume) are
+    # median for frames [C-El, Fn); interior values (all we consume) are
     # exact, edge replicas fall outside the consumed range
     m_ext = median3(raw_ext)
     # Viterbi contour snap for the Fc finals [C, Fn-E): each needs the
-    # median track + candidates on [i-halo, i+halo], all interior of the
-    # ext arrays.  The snap helper pads its input edges with inactive
-    # frames, so slice exactly halo margin on both sides and keep the
-    # middle Fc outputs (those windows are complete).
-    halo = cfg.dsp.f0_snap_halo
-    lo = E - halo                                # m_ext index of frame C-halo
-    snap_in = m_ext[lo: lo + Fc + 2 * halo]
+    # median track + candidates on [i-hl, i+hr] — the LEFT half comes
+    # from the carried cache (free), only the RIGHT half costs
+    # lookahead (E = 1 + hr).  The snap helper pads its input edges
+    # with inactive frames, so slice exactly the half-window margins
+    # and keep the middle Fc outputs (those windows are complete).
+    hl = cfg.dsp.f0_snap_left_eff
+    hr = cfg.dsp.f0_snap_halo
+    lo = El - hl                                 # m_ext index of frame C-hl
+    snap_in = m_ext[lo: lo + Fc + hl + hr]
     snapped, choice = viterbi_snap(snap_in,
-                                   cand_ext[lo: lo + Fc + 2 * halo],
-                                   cost_ext[lo: lo + Fc + 2 * halo],
+                                   cand_ext[lo: lo + Fc + hl + hr],
+                                   cost_ext[lo: lo + Fc + hl + hr],
                                    cfg.dsp)
     # ONE power spectrogram for voicing revision + refinement + envelope
     # + aperiodicity (explicit threading — identical pallas_calls may
@@ -159,8 +162,8 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
     P = power_spectrogram(buf, Fc, cfg.dsp, off)
     # band-evidence voicing revision on the finals (frame-local given
     # f0+choice)
-    f0_final = voicing_revision(buf, snapped[halo: halo + Fc],
-                                choice[halo: halo + Fc], Fc, cfg.dsp, off,
+    f0_final = voicing_revision(buf, snapped[hl: hl + Fc],
+                                choice[hl: hl + Fc], Fc, cfg.dsp, off,
                                 P=P)
     # refine=True: the StoneMask-role refinement runs on the fresh
     # frames' shared power spectrogram; frame-local given the snapped
@@ -240,14 +243,16 @@ def streaming_step_impl(params: dict, carry: StreamCarry,
         rs_in=rs_in, rs_out=rs_out,
         # next step's window is this one shifted by Fc: cache frames
         # [Fc, Fn-E) (the E trailing frames have provisional median/snap
-        # and are re-estimated next step); the raw cache holds the E
-        # frames preceding the next fresh range, [Fn-2E, Fn-E)
+        # and are re-estimated next step); the raw cache holds the El
+        # frames preceding the next fresh range, [Fn-E-El, Fn-E) —
+        # sliced from the ext arrays so it stays valid even when the
+        # left window exceeds the chunk (El > Fc at small chunks)
         f0_cache=f0_all[Fc:],
         mc_cache=mc_all[Fc:],
         ap_cache=ap_all[Fc:],
-        f0_raw_prev=raw_fresh[Fc - E: Fc],
-        f0_cand_prev=cand_fresh[Fc - E: Fc],
-        f0_cost_prev=cost_fresh[Fc - E: Fc])
+        f0_raw_prev=raw_ext[Fc: Fc + El],
+        f0_cand_prev=cand_ext[Fc: Fc + El],
+        f0_cost_prev=cost_ext[Fc: Fc + El])
     return out, new_carry
 
 

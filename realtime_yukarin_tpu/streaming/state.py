@@ -81,6 +81,8 @@ class StreamGeometry:
     out_delay: int           # output-resampler delay (output-rate samples)
     stage1_ctx: int          # stage-1 one-sided receptive field (frames)
     f0_edge: int             # trailing provisional-F0 frames (median+snap)
+    f0_left: int             # leading raw/candidate cache frames (the
+    #                          Viterbi LEFT half-window + median neighbor)
 
     @classmethod
     def from_config(cls, cfg: Config, use_sr: bool = True,
@@ -114,7 +116,7 @@ class StreamGeometry:
                    buf_samples=L_buf, buf_frame0_offset=AH,
                    in_delay=p_in.delay_out, out_delay=p_out.delay_out,
                    stage1_ctx=cfg.acoustic.context_frames,
-                   f0_edge=E)
+                   f0_edge=E, f0_left=dsp.f0_left_frames)
 
     def latency_samples(self, hop: int) -> int:
         """Algorithmic latency in INTERNAL-rate samples (pipeline + the
@@ -172,9 +174,9 @@ class StreamCarry(flax.struct.PyTreeNode):
     f0_cache: jnp.ndarray      # [C] final (snapped+refined) F0 per frame
     mc_cache: jnp.ndarray      # [C, M+1] mel-cepstra of cached frames
     ap_cache: jnp.ndarray      # [C, B] band aperiodicity of cached frames
-    f0_raw_prev: jnp.ndarray   # [E] raw F0 of the E frames before fresh
-    f0_cand_prev: jnp.ndarray  # [E, K] top-K dip candidates before fresh
-    f0_cost_prev: jnp.ndarray  # [E, K] their Viterbi emission costs
+    f0_raw_prev: jnp.ndarray   # [El] raw F0 of the El frames before fresh
+    f0_cand_prev: jnp.ndarray  # [El, K] top-K dip candidates before fresh
+    f0_cost_prev: jnp.ndarray  # [El, K] their Viterbi emission costs
     mc_c_cache: jnp.ndarray    # [Cs, M+1] stage-1 OUTPUTS carried over
     stage1_acts: tuple         # per-block [k-1, hidden] activation tails
     rs_in: jnp.ndarray | None = None   # input-resampler history (client rate)
@@ -201,11 +203,11 @@ class StreamCarry(flax.struct.PyTreeNode):
             f0_cache=jnp.asarray(f0_sil, dtype),
             mc_cache=jnp.asarray(mc_sil, dtype),
             ap_cache=jnp.asarray(ap_sil, dtype),
-            f0_raw_prev=jnp.zeros((geo.f0_edge,), dtype),
+            f0_raw_prev=jnp.zeros((geo.f0_left,), dtype),
             # zero candidates = inactive frames for the window Viterbi —
             # exactly what analysis of the initial silence produces
-            f0_cand_prev=jnp.zeros((geo.f0_edge, cfg.dsp.f0_cand_k), dtype),
-            f0_cost_prev=jnp.full((geo.f0_edge, cfg.dsp.f0_cand_k),
+            f0_cand_prev=jnp.zeros((geo.f0_left, cfg.dsp.f0_cand_k), dtype),
+            f0_cost_prev=jnp.full((geo.f0_left, cfg.dsp.f0_cand_k),
                                   _VITERBI_BIG, dtype),
             mc_c_cache=jnp.tile(mc_c_row[None],
                                 (geo.stage1_cache_frames, 1)),

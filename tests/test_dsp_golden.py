@@ -412,20 +412,23 @@ def test_explicit_p_threading_identical(dsp_cfg):
 
 
 def test_f0_low_latency_profile_tradeoff(dsp_cfg):
-    """The low-latency profile (f0_snap_halo=0) drops the Viterbi window
-    (15 ms of lookahead) but keeps the per-frame candidate choice and the
-    band-evidence voicing revision.  Measured cost of the knob on the
-    formant seeds: 0-7 octave-slip frames per utterance (vs 0 on every
-    seed with the default halo) while voicing quality is unchanged
-    (recall 1.0, false voicing 0.024 — the revision is halo-independent).
-    This test pins the floor so a regression in the halo-0 path (the
-    profile bench.py publishes) cannot hide."""
+    """The low-latency profile drops the Viterbi's RIGHT half-window
+    (f0_snap_halo=0: zero snap lookahead) but keeps a 6-frame LEFT
+    half-window (f0_snap_left=6) — a causal contour DP whose context
+    comes from the streaming caches, costing no latency at all.
+
+    Measured on all five formant seeds (VERDICT r4 #3): the old
+    symmetric halo-0 slipped 0/0/0/4-7/2 octave frames per seed;
+    causal left-6 restores ZERO slips on every seed, matching the full
+    symmetric window.  (Symmetric halo-1, the probed 5 ms alternative,
+    still slipped up to 2.)  Gate: <= 2 octave frames worst-seed (the
+    VERDICT floor), recall/false-voicing unchanged."""
     import dataclasses
     from conftest import make_formant_utterance
-    cfg = dataclasses.replace(dsp_cfg, f0_snap_halo=0)
+    cfg = dataclasses.replace(dsp_cfg, f0_snap_halo=0, f0_snap_left=6)
     fs = cfg.sample_rate
     worst_oct = 0
-    for seed in (0, 3):           # the seeds with diplophonia pressure
+    for seed in range(5):
         x, f0_true, voiced_true = make_formant_utterance(1.0, fs, seed=seed)
         F = len(x) // cfg.hop
         j = np.asarray(estimate_f0(jnp.asarray(x, jnp.float32), F, cfg))
@@ -435,4 +438,20 @@ def test_f0_low_latency_profile_tradeoff(dsp_cfg):
         v = vt & (j[:F] > 0)
         err = _cents(j[:F][v], f0_true[:F][v])
         worst_oct = max(worst_oct, int((err > 600).sum()))
-    assert worst_oct <= 10, f"halo-0 octave frames regressed: {worst_oct}"
+    assert worst_oct <= 2, f"causal-profile octave frames: {worst_oct}"
+
+
+def test_f0_asymmetric_snap_matches_golden(dsp_cfg):
+    """The asymmetric (causal) Viterbi window must keep JAX==golden
+    parity — the generalized half-passes are easy to get off-by-one."""
+    import dataclasses
+    cfg = dataclasses.replace(dsp_cfg, f0_snap_halo=0, f0_snap_left=6)
+    x = make_test_signal("formant", 0.5, cfg.sample_rate)
+    F = _frames(x, cfg)
+    g = ref.estimate_f0(x, F, cfg)
+    j = np.asarray(estimate_f0(jnp.asarray(x, jnp.float32), F, cfg))
+    agree = ((g > 0) == (j > 0)).mean()
+    assert agree > 0.98, f"voicing agreement {agree}"
+    both = (g > 0) & (j > 0)
+    assert both.any()
+    assert np.percentile(np.abs(j[both] - g[both]), 95) < 1.0

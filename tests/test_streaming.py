@@ -98,6 +98,36 @@ def test_streamed_equals_offline_small_chunks(params, kind):
                                offline[lo:hi] / scale, rtol=0, atol=2e-3)
 
 
+@pytest.mark.parametrize("kind", ["sweep", "formant"])
+def test_streamed_equals_offline_causal_snap(params, kind):
+    """The low-latency causal contour profile (f0_snap_halo=0 with a
+    6-frame LEFT window) changes the raw-F0/candidate cache geometry
+    (f0_left > f0_edge, and at small chunks the left window exceeds the
+    chunk) — streamed must still equal offline on the interior."""
+    import dataclasses
+    from realtime_yukarin_tpu.config import StreamingConfig
+
+    base = Config()
+    cfg = dataclasses.replace(
+        base,
+        dsp=dataclasses.replace(base.dsp, f0_snap_halo=0, f0_snap_left=6),
+        streaming=StreamingConfig(chunk_ms=20.0))   # Fc=4 < f0_left=7
+    x = make_test_signal(kind, 0.8, cfg.dsp.sample_rate).astype(np.float32)
+    S = cfg.streaming.chunk_samples(cfg.dsp)
+    x = x[: (len(x) // S) * S]
+    F = len(x) // cfg.dsp.hop
+
+    offline = np.asarray(offline_convert(
+        params, jnp.asarray(x), jax.random.key(0), cfg, F))
+    streamed, stream = _stream_full(params, cfg, x)
+    geo = stream._geo
+    lo = (geo.model_ctx + 8) * cfg.dsp.hop   # + left-window margin
+    hi = (F - geo.model_ctx - 8) * cfg.dsp.hop
+    scale = np.abs(offline[lo:hi]).max() + 1e-9
+    np.testing.assert_allclose(streamed[lo:hi] / scale,
+                               offline[lo:hi] / scale, rtol=0, atol=2e-3)
+
+
 @pytest.mark.parametrize("kind", ["harmonic", "formant"])
 def test_streamed_equals_offline_neural_vocoder(params, cfg, kind):
     x = make_test_signal(kind, 0.5, cfg.dsp.sample_rate
