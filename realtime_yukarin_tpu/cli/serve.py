@@ -99,6 +99,12 @@ def main(argv: list[str] | None = None) -> None:
                                   .list_devices()))
         return
 
+    # multi-host bring-up (no-op unless JAX_COORDINATOR_ADDRESS etc. are
+    # set): --socket then serves this host's local slot range of one
+    # global batched program, in lockstep with the other hosts
+    from realtime_yukarin_tpu.parallel.multihost import init_multihost
+    init_multihost()
+
     cfg = Config.from_yaml(args.config_path) if args.config_path else Config()
     params = init_params(jax.random.key(cfg.seed), cfg)
     params = load_all_params(params, cfg, params_path=args.params_path)
@@ -118,7 +124,9 @@ def main(argv: list[str] | None = None) -> None:
                 vocoder_mode=args.vocoder_mode,
                 seed=args.seed) as srv:
             print(f"[serve] socket server on {srv.address}, "
-                  f"{args.num_streams} stream slots", file=sys.stderr)
+                  f"{len(srv._slots)} local stream slots "
+                  f"(host {jax.process_index()}/{jax.process_count()})",
+                  file=sys.stderr)
             try:
                 while True:
                     time.sleep(10)

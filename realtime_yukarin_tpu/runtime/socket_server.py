@@ -22,9 +22,18 @@ SPSC edges around one device ticker):
   * one ticker thread: pops a chunk per active slot (silence on underrun,
     counted — the reference's realtime contract), runs the batched step,
     pushes per-slot outputs
-  * slots are fixed (num_streams); a new connection claims a free slot and
-    resets its device carry (BatchedServer.reset_stream — drop/rejoin,
-    SURVEY.md §5), a full server refuses with immediate close.
+  * slots are fixed (this host's BatchedServer.local_slots); a new
+    connection claims a free slot and schedules its device-carry re-zero
+    on the next tick's in-step reset mask (drop/rejoin, SURVEY.md §5); a
+    full server refuses with immediate close.
+
+Multi-host (BASELINE config #5 scaled out): run this same server in every
+process of a jax.distributed job — each host binds its own port, accepts
+its own clients into its local slot range, and the tickers advance the
+one global batched program in lockstep (step_local is collective; resets
+ride the in-step masks, so no host ever makes a non-collective device
+call).  Shut hosts down together: a host that stops ticking parks its
+partners' tickers inside the collective until their processes exit.
 
 ``realtime_factor`` throttles the ticker (1.0 = wall-clock realtime,
 0 = free-running for offline/batch use).
@@ -55,6 +64,10 @@ class _Slot:
         self.gen = 0                 # claim generation: a stale reader from
         #                              a previous connection must never push
         #                              into a reclaimed slot's ring
+        self.pending_reset = False   # carry re-zero owed on the next tick
+        #                              (rides the in-step reset mask — the
+        #                              only way that works at N hosts, where
+        #                              every device call must be collective)
         self.reader: threading.Thread | None = None
 
 
@@ -79,19 +92,22 @@ class SocketVoiceServer:
         self._n_drain = -(-self._server.latency_samples // self._So) + 1
         self._rt = realtime_factor
         cap = int(ring_seconds * max(cfg.dsp.in_rate, cfg.dsp.out_rate))
-        # BatchedServer rounds num_streams up to the mesh data axis
-        self._slots = [_Slot(cap) for _ in range(self._server.num_streams)]
+        # This host serves its LOCAL slots (all of them single-process;
+        # a contiguous global range at N hosts — BatchedServer rounds
+        # num_streams up to the mesh data axis).  Multi-host, every host
+        # runs this same server: each accepts its own TCP clients, the
+        # tickers call step_local in lockstep (the collective step itself
+        # is the synchronizer), and carry resets ride the in-step masks.
+        import jax
+        self._multi = jax.process_count() > 1
+        self._n_local = len(self._server.local_slots)
+        self._slots = [_Slot(cap) for _ in range(self._n_local)]
         self._lock = threading.Lock()
-        # Serializes ALL device work: the accept thread's reset_stream must
-        # never overlap the ticker's step — the step donates the carry
-        # buffer a concurrent reset would still be reading (and concurrent
-        # sharded CPU executables deadlock the in-process collectives).
-        self._dev_lock = threading.Lock()
         self.metrics = ServingMetrics()
 
-        # warm up the compile before accepting traffic
-        self._server.step(np.zeros((self._server.num_streams, self._S),
-                                   np.float32))
+        # warm up the compile before accepting traffic (collective)
+        self._server.step_local(np.zeros((self._n_local, self._S),
+                                         np.float32))
 
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -154,8 +170,11 @@ class SocketVoiceServer:
                     s.eof = False
                     s.drain_left = self._n_drain
                     s.done.clear()
-                    with self._dev_lock:
-                        self._server.reset_stream(i)
+                    # carry re-zero rides the next tick's in-step reset
+                    # mask (applied before that tick's chunk) — an eager
+                    # device call here would race the ticker's donated
+                    # carry and cannot be collective at N hosts
+                    s.pending_reset = True
                     s.active = True
                     return i
         return None
@@ -256,12 +275,19 @@ class SocketVoiceServer:
         N = len(self._slots)
         chunks = np.zeros((N, S), np.float32)
         live = np.zeros((N,), bool)
+        reset = np.zeros((N,), bool)
         while not self._stop.is_set():
             t0 = time.perf_counter()
             live[:] = False
+            reset[:] = False
             gens = [0] * N
             with self._lock:     # claim/free cannot interleave the scan
                 for i, s in enumerate(self._slots):
+                    if s.pending_reset:
+                        # applied before this tick's chunk (in-step mask);
+                        # valid even while the lane stays paused
+                        reset[i] = True
+                        s.pending_reset = False
                     if not s.active or s.done.is_set():
                         chunks[i] = 0.0
                         continue
@@ -297,12 +323,18 @@ class SocketVoiceServer:
                         self.metrics.incr("tick_underruns")
                     # free-running mode: not-ready slots are PAUSED via
                     # the live mask — their device carry is untouched
-            if not live.any():
+            if not (live.any() or reset.any()):
+                if not self._multi:
+                    time.sleep(0.002)
+                    continue
+                # multi-host: the tickers must stay in COLLECTIVE lockstep
+                # — every host calls step_local every tick even when all
+                # its local lanes are idle (another host may have live
+                # streams).  A short sleep bounds the hot spin; it delays
+                # partner hosts' ticks by at most this much.
                 time.sleep(0.002)
-                continue
             t_lat = time.perf_counter()
-            with self._dev_lock:
-                out = self._server.step(chunks, live=live)
+            out = self._server.step_local(chunks, live=live, reset=reset)
             self.metrics.chunk_latency.record(
                 1000.0 * (time.perf_counter() - t_lat))
             for i in np.flatnonzero(live):
