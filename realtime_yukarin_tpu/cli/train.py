@@ -54,10 +54,27 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--crop_frames", type=int, default=100)
+    p.add_argument("--cache_utterances", type=int, default=None,
+                   help="bound host RAM: lazy-load corpus npz behind an "
+                        "LRU of this many utterances (default: eager "
+                        "full load, fine for small corpora)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--gan", action="store_true",
                    help="adversarial stage-2 objective")
     p.add_argument("--adv_weight", type=float, default=0.02)
+    p.add_argument("--finetune_converted", type=int, default=0,
+                   metavar="STEPS",
+                   help="after main training, fine-tune ONLY the vocoder "
+                        "subtrees for STEPS steps on (converted features, "
+                        "real target waveform) pairs — closes the "
+                        "train/inference conditioning mismatch (the "
+                        "vocoders train on ground-truth features but "
+                        "consume stage-1/SR outputs at inference; "
+                        "measured ~7-9%% multi-res-STFT cost, "
+                        "tests/test_full_chain.py).  Needs "
+                        "--prepared_dir; host-local (run before "
+                        "exporting, after multi-host training)")
+    p.add_argument("--finetune_lr", type=float, default=3e-4)
     p.add_argument("--ckpt_every", type=int, default=200)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--model_parallel", type=int, default=1)
@@ -97,7 +114,8 @@ def main(argv: list[str] | None = None) -> None:
         from realtime_yukarin_tpu.training.dataset import CorpusDataset
         ds = CorpusDataset(args.prepared_dir, cfg,
                            crop_frames=args.crop_frames,
-                           seed=args.seed + proc_id)
+                           seed=args.seed + proc_id,
+                           cache_utterances=args.cache_utterances)
         if is_host0:
             print(f"[train] corpus: {ds.num_utterances} utterance pairs")
 
@@ -157,10 +175,28 @@ def main(argv: list[str] | None = None) -> None:
                 path = save_checkpoint(args.ckpt_dir, host_state, step + 1)
                 print(f"[train] checkpoint -> {path}")
 
-    if args.export_params:
-        host_params = to_host(state.params)    # collective: all hosts
+    final_params = None
+    if args.finetune_converted:
+        if not args.prepared_dir:
+            p.error("--finetune_converted needs --prepared_dir")
+        from realtime_yukarin_tpu.training.full_chain import (
+            converted_pairs, finetune_vocoder_on_converted)
+        host_params = jax.tree.map(np.asarray, to_host(state.params))
         if is_host0:
-            save_params(host_params, args.export_params)
+            pairs = converted_pairs(host_params, cfg, args.prepared_dir)
+            print(f"[train] fine-tuning vocoders on {len(pairs)} converted"
+                  f"-feature utterances, {args.finetune_converted} steps")
+            host_params = finetune_vocoder_on_converted(
+                host_params, cfg, pairs, steps=args.finetune_converted,
+                lr=args.finetune_lr, crop_frames=args.crop_frames,
+                batch_size=args.batch_size, seed=args.seed)
+        final_params = broadcast_from_host0(host_params)
+
+    if args.export_params:
+        if final_params is None:
+            final_params = to_host(state.params)   # collective: all hosts
+        if is_host0:
+            save_params(final_params, args.export_params)
             print(f"[train] inference params -> {args.export_params}")
 
 

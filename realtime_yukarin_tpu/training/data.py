@@ -100,6 +100,55 @@ def formant_utterance(structure_seed: int, rng: np.random.Generator,
     return y.astype(np.float32)
 
 
+def build_formant_corpus(root, cfg: Config, n_train: int = 6,
+                         seed: int = 3, heldout_seed: int = 100,
+                         verbose: bool = False) -> dict:
+    """Write + prepare the two-speaker formant-class corpus used by the
+    held-out training gates and the quality tool (tools/quality.py).
+
+    Source speaker: 140 Hz / neutral tract / bright tilt.  Target: 200 Hz
+    / shorter tract (0.8) / darker tilt / a -22 dB inharmonic partial at
+    1.62*f0 (structure outside the harmonic+noise model class — what the
+    neural vocoders must learn from the real waveform).  Same
+    ``structure_seed`` per pair = same "sentence" for DTW; the target is
+    10% slower.  Deterministic: the rng consumption order is fixed, so
+    every caller (tests, tools) trains on byte-identical audio.
+
+    Returns {"src","tgt","ev_src","ev_tgt","prep_tr","prep_ev"} paths;
+    ``prep_tr``/``prep_ev`` hold the prepared npz pairs + F0 stats.
+    """
+    import pathlib
+
+    from realtime_yukarin_tpu.training.corpus import prepare_corpus
+    from realtime_yukarin_tpu.utils.audio_io import write_wav
+
+    root = pathlib.Path(root)
+    dirs = {n: root / n for n in
+            ("src", "tgt", "ev_src", "ev_tgt", "prep_tr", "prep_ev")}
+    for d in dirs.values():
+        d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    fs = cfg.dsp.sample_rate
+    for k in range(n_train):
+        write_wav(str(dirs["src"] / f"utt{k}.wav"),
+                  formant_utterance(k, rng, 0.6, fs, 140.0, 1.0, 0.1), fs)
+        write_wav(str(dirs["tgt"] / f"utt{k}.wav"),
+                  formant_utterance(k, rng, 0.66, fs, 200.0, 0.8, 0.5,
+                                    inharmonic=0.08), fs)
+    write_wav(str(dirs["ev_src"] / "ho.wav"),
+              formant_utterance(heldout_seed, rng, 0.6, fs, 140.0, 1.0,
+                                0.1), fs)
+    write_wav(str(dirs["ev_tgt"] / "ho.wav"),
+              formant_utterance(heldout_seed, rng, 0.66, fs, 200.0, 0.8,
+                                0.5, inharmonic=0.08), fs)
+    prepare_corpus(str(dirs["src"]), str(dirs["tgt"]), str(dirs["prep_tr"]),
+                   cfg, bucket_frames=32, verbose=verbose)
+    prepare_corpus(str(dirs["ev_src"]), str(dirs["ev_tgt"]),
+                   str(dirs["prep_ev"]), cfg, bucket_frames=32,
+                   verbose=verbose)
+    return dirs
+
+
 def make_batch(cfg: Config, batch_size: int, seconds: float = 0.5,
                seed: int = 0, f0_ratio: float = 1.4,
                tilt_src: float = 0.1, tilt_tgt: float = 0.3) -> Batch:

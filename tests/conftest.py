@@ -41,6 +41,51 @@ def cfg() -> Config:
     return Config()
 
 
+def tiny_config() -> Config:
+    """The tiny-model training config every held-out gate uses."""
+    from realtime_yukarin_tpu.config import (AcousticModelConfig,
+                                             SuperResolutionConfig,
+                                             VocoderNNConfig)
+    return Config(
+        acoustic=AcousticModelConfig(hidden=32, num_blocks=2),
+        super_resolution=SuperResolutionConfig(hidden=64, num_blocks=2),
+        vocoder_nn=VocoderNNConfig(hidden=32, num_blocks=2),
+    )
+
+
+@pytest.fixture(scope="session")
+def trained_formant(tmp_path_factory):
+    """Train the tiny config on the formant corpus ONCE per session —
+    shared by the per-stage held-out gates (test_training.py) and the
+    full-chain product gate (test_full_chain.py), which would otherwise
+    each pay the 600-step run.
+
+    Returns dict(cfg, dirs, init_params, trained_params, ho) where
+    ``trained_params`` carries the corpus-derived F0 statistics (as
+    ``cli.convert``'s load step would install them) and ``ho`` is the
+    held-out prepared pair npz dict."""
+    import jax.numpy as jnp
+
+    from realtime_yukarin_tpu.models.f0_stats import F0Statistics
+    from realtime_yukarin_tpu.training.data import build_formant_corpus
+    from realtime_yukarin_tpu.training.full_chain import train_plain
+
+    tcfg = tiny_config()
+    root = tmp_path_factory.mktemp("formant_corpus")
+    dirs = build_formant_corpus(root, tcfg)
+    init_params, trained = train_plain(tcfg, dirs["prep_tr"], steps=600)
+    si = F0Statistics.load(dirs["prep_tr"] / "stats_input.npz")
+    st = F0Statistics.load(dirs["prep_tr"] / "stats_target.npz")
+    trained = dict(trained, f0_stats={
+        "src_mean": jnp.asarray(si.mean, jnp.float32),
+        "src_std": jnp.asarray(si.std, jnp.float32),
+        "tgt_mean": jnp.asarray(st.mean, jnp.float32),
+        "tgt_std": jnp.asarray(st.std, jnp.float32)})
+    ho = dict(np.load(dirs["prep_ev"] / "ho.npz"))
+    return {"cfg": tcfg, "dirs": dirs, "init_params": init_params,
+            "trained_params": trained, "ho": ho}
+
+
 @pytest.fixture(scope="session")
 def dsp_cfg() -> DspConfig:
     return DspConfig()
