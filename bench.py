@@ -269,11 +269,18 @@ def _model_stage_flops(server: BatchedServer, cfg, num_streams: int,
             else:
                 net = WaveDecoderNet(cfg.vocoder_wave,
                                      residual_bins(cfg.dsp), dtype)
+                Q = cfg.vocoder_wave.phase_fractional
                 total += count(
-                    lambda x, bp: net.apply(params["vocoder_wave"], x, bp,
-                                            ctx_v, Fc + 1),
+                    lambda x, bp, adv, nr, ao, nro, fb: net.apply(
+                        params["vocoder_wave"], x, bp, adv, nr, ao, nro,
+                        fb, ctx_v, Fc + 1),
                     jnp.zeros((N, Lv, d_in), jnp.float32),
-                    jnp.zeros((N, Fc + 1), jnp.float32))
+                    jnp.zeros((N, Fc + 1), jnp.float32),
+                    jnp.zeros((N, Fc + 1), jnp.float32),
+                    jnp.zeros((N, Fc + 1), jnp.bool_),
+                    jnp.zeros((N,), jnp.float32),
+                    jnp.zeros((N,), jnp.bool_),
+                    jnp.zeros((N, Q), jnp.float32))
         return total
     except Exception:               # noqa: BLE001 — optional diagnostics
         return None

@@ -57,15 +57,29 @@ class SynthCarry(NamedTuple):
 
 class WaveCarry(NamedTuple):
     """Carry of the "wave" vocoder mode: the DSP renderer's state plus the
-    learned residual's own OLA tail (models/vocoder_wave.py)."""
+    learned residual's own OLA tail and the fractional phase tracks
+    (models/vocoder_wave.py).
+
+    ``frac_phase`` [Q] is each fractional comb's OWN wrapped phase at the
+    next chunk start.  The fundamental's wrapped boundary phase cannot
+    serve here: for a non-integer ratio r, cos(r * (phi mod 2pi)) jumps by
+    2pi*frac(r) at every fundamental wrap, so a track derived from the
+    wrapped fundamental can never stay coherent with a true r*f0 partial
+    (ADVICE r4).  Each track therefore accumulates r * delta-phi itself
+    and wraps its own phase mod 2pi — wrapping per-track is exact because
+    only cos/sin of the track phase are ever used.
+    """
     synth: SynthCarry
     res_tail: jnp.ndarray     # [noise_fft - hop]
+    frac_phase: jnp.ndarray   # [Q] per-fractional-track wrapped phase
 
     @classmethod
-    def zeros(cls, cfg: DspConfig, dtype=jnp.float32) -> "WaveCarry":
+    def zeros(cls, cfg: DspConfig, dtype=jnp.float32,
+              phase_fractional: int = 0) -> "WaveCarry":
         n = prim.noise_fft_size(cfg.hop)
         return cls(synth=SynthCarry.zeros(cfg, dtype),
-                   res_tail=jnp.zeros((n - cfg.hop,), dtype))
+                   res_tail=jnp.zeros((n - cfg.hop,), dtype),
+                   frac_phase=jnp.zeros((phase_fractional,), dtype))
 
 
 def harmonic_amplitudes(f0: jnp.ndarray, env: jnp.ndarray,
@@ -172,6 +186,14 @@ class PhaseTrack(NamedTuple):
     frac: jnp.ndarray        # [hop] intra-hop interpolation weight (0, 1]
     phase_out: jnp.ndarray   # [] carry-out phase
     vprev_out: jnp.ndarray   # [] carry-out voicing
+    # UNWRAPPED phase advance since the last voicing reset (or chunk
+    # start) — what a fractional comb track (phase = r * fundamental)
+    # needs, since it cannot be reconstructed from the wrapped
+    # ``boundaries`` for non-integer r (see WaveCarry.frac_phase)
+    adv: jnp.ndarray         # [F] advance at each frame start (radians)
+    no_reset: jnp.ndarray    # [F] bool: no voicing reset up to frame i
+    adv_out: jnp.ndarray     # [] advance at the carry-out point
+    no_reset_out: jnp.ndarray  # [] bool: chunk had no voicing reset
 
 
 def integrate_phase(f0f: jnp.ndarray, voiced: jnp.ndarray, cfg: DspConfig,
@@ -219,12 +241,16 @@ def integrate_phase(f0f: jnp.ndarray, voiced: jnp.ndarray, cfg: DspConfig,
     cols = jnp.arange(F + 1)
     csum_r = jnp.sum(jnp.where(cols[None, :] == jnp.maximum(r, 0)[:, None],
                                csum[None, :], 0.0), axis=1)
-    boundaries = jnp.mod(base + csum[:F] - csum_r, two_pi)      # [F]
-    phase_out = jnp.mod(base[F - 1] + csum[F] - csum_r[F - 1], two_pi)
+    adv = csum[:F] - csum_r                                     # [F]
+    boundaries = jnp.mod(base + adv, two_pi)                    # [F]
+    adv_out = csum[F] - csum_r[F - 1]
+    phase_out = jnp.mod(base[F - 1] + adv_out, two_pi)
     vprev_out = v[F - 1]
     phi = boundaries[:, None] + cum                            # [F, hop]
     return PhaseTrack(phi=phi, boundaries=boundaries, frac=frac,
-                      phase_out=phase_out, vprev_out=vprev_out)
+                      phase_out=phase_out, vprev_out=vprev_out,
+                      adv=adv, no_reset=r < 0, adv_out=adv_out,
+                      no_reset_out=r[F - 1] < 0)
 
 
 def ola_hop_blocks(seg: jnp.ndarray, tail: jnp.ndarray, hop: int

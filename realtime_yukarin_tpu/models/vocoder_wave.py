@@ -44,18 +44,27 @@ class WaveDecoderNet(nn.Module):
     """Conditioning [B, T, D] (+ boundary phase) -> complex residual
     spectra.
 
-    ``__call__(x, bphase, out_start, out_len)`` runs the conv stack over
-    all T rows (SAME padding — callers supply ``context_frames`` halo
-    rows and slice, exactly like the other model stages), then applies
-    the heads only to rows [out_start, out_start+out_len) — the rows
-    whose boundary phase ``bphase`` [..., out_len] the caller knows.
+    ``__call__(x, bphase, adv, no_reset, adv_out, no_reset_out,
+    frac_base, out_start, out_len)`` runs the conv stack over all T rows
+    (SAME padding — callers supply ``context_frames`` halo rows and
+    slice, exactly like the other model stages), then applies the heads
+    only to rows [out_start, out_start+out_len) — the rows whose phase
+    feeds ``bphase``/``adv``/``no_reset`` [..., out_len] the caller knows
+    (a :class:`~realtime_yukarin_tpu.dsp.synthesis.PhaseTrack`).
 
     Phase tracks: P integer combs (m * phi, residual harmonics
     phase-locked to the excitation) plus Q LEARNABLE fractional ratios
-    (r_j * phi, init on half-integers): coherent NON-harmonic partials
+    r_j (init on half-integers): coherent NON-harmonic partials
     (subglottal/nasal side resonances) are representable only this way —
     an OLA of phase-free bins places band energy but cannot keep it
-    phase-coherent across 4x-overlapped windows.  Constant ratios keep
+    phase-coherent across 4x-overlapped windows.  Integer combs use the
+    wrapped boundary phase (exact: cos(m*(phi mod 2pi)) == cos(m*phi)).
+    Fractional tracks CANNOT (cos(r*(phi mod 2pi)) jumps by 2pi*frac(r)
+    at every fundamental wrap — ADVICE r4): each track carries its own
+    wrapped phase ``frac_base`` [..., Q] and advances by r_j times the
+    UNWRAPPED phase advance ``adv``, resetting with the excitation
+    (``no_reset`` masks).  Returns (re, im, frac_out) with ``frac_out``
+    the tracks' carry-out phases; constant-per-utterance ratios keep
     streaming exactness (r*phi is as chunk-continuous as phi).
     """
 
@@ -65,7 +74,9 @@ class WaveDecoderNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bphase: jnp.ndarray,
-                 out_start: int, out_len: int):
+                 adv: jnp.ndarray, no_reset: jnp.ndarray,
+                 adv_out: jnp.ndarray, no_reset_out: jnp.ndarray,
+                 frac_base: jnp.ndarray, out_start: int, out_len: int):
         c = self.cfg
         P = c.phase_harmonics
         Q = c.phase_fractional
@@ -77,16 +88,27 @@ class WaveDecoderNet(nn.Module):
             h = h + r
         h = nn.gelu(h)[..., out_start: out_start + out_len, :]
         zeros = nn.initializers.zeros
-        # phase multipliers: integer combs + learnable fractional ratios
+        # integer combs from the wrapped fundamental (exact under mod 2pi)
         m_int = jnp.arange(1, P + 1, dtype=jnp.float32)
+        ang_int = bphase[..., :, None].astype(jnp.float32) * m_int
         if Q > 0:
             ratios = self.param(
                 "frac_ratios",
                 lambda _key: 0.5 + jnp.arange(Q, dtype=jnp.float32))
-            mults = jnp.concatenate([m_int, ratios])
+            # track phase = own wrapped base (zeroed once the excitation
+            # resets) + r_j * unwrapped advance since that reset
+            keep = no_reset[..., :, None].astype(jnp.float32)
+            ang_frac = (keep * frac_base[..., None, :]
+                        + adv[..., :, None].astype(jnp.float32) * ratios)
+            ang = jnp.concatenate([ang_int, ang_frac], axis=-1)
+            keep_out = no_reset_out[..., None].astype(jnp.float32)
+            frac_out = jnp.mod(
+                keep_out * frac_base
+                + adv_out[..., None].astype(jnp.float32) * ratios,
+                2.0 * jnp.pi)
         else:
-            mults = m_int
-        ang = bphase[..., :, None].astype(jnp.float32) * mults
+            ang = ang_int
+            frac_out = frac_base
         cosm, sinm = jnp.cos(ang), jnp.sin(ang)      # [..., out_len, P+Q]
         # phase-free residual (noise/transients) ...
         base = nn.Conv(2 * K, (1,), dtype=self.dtype, kernel_init=zeros,
@@ -103,7 +125,7 @@ class WaveDecoderNet(nn.Module):
               - jnp.einsum("...pk,...p->...k", c_im, sinm, precision=hp))
         im = (b_im + jnp.einsum("...pk,...p->...k", c_re, sinm, precision=hp)
               + jnp.einsum("...pk,...p->...k", c_im, cosm, precision=hp))
-        return re, im
+        return re, im, frac_out
 
 
 def residual_bins(dsp_cfg: DspConfig) -> int:
@@ -126,7 +148,8 @@ def waveform_vocode(params, f0, env, ap, mc, noise,
     hop = dsp_cfg.hop
     n_noise = prim.noise_fft_size(hop)
     if carry is None:
-        carry = WaveCarry.zeros(dsp_cfg, jnp.float32)
+        carry = WaveCarry.zeros(dsp_cfg, jnp.float32,
+                                wd_cfg.phase_fractional)
 
     sl = slice(out_ctx, out_ctx + F + 1)
     amps, nmag, f0f, voiced = synthesis_controls(
@@ -136,26 +159,35 @@ def waveform_vocode(params, f0, env, ap, mc, noise,
                                     carry.synth)
 
     x = vocoder_inputs(f0, mc, ap).astype(dtype)
-    bphase = track.boundaries
+    feed = (track.boundaries, track.adv, track.no_reset, track.adv_out,
+            track.no_reset_out, carry.frac_phase)
     net = WaveDecoderNet(wd_cfg, residual_bins(dsp_cfg), dtype)
     squeeze = x.ndim == 2
     if squeeze:
-        x, bphase = x[None], bphase[None]
-    re, im = net.apply(params, x, bphase, out_ctx, F)
+        x = x[None]
+        feed = tuple(a[None] for a in feed)
+    re, im, frac_out = net.apply(params, x, *feed, out_ctx, F)
     if squeeze:
-        re, im = re[0], im[0]
+        re, im, frac_out = re[0], im[0], frac_out[0]
 
     w = jnp.asarray(prim.noise_window(hop), jnp.float32)
     seg = dft.irfft_real(re, im, n_noise) * w[None, :]
     # amplitude-exact COLA: 4x-overlapped periodic Hann sums to 2.0
     res, res_tail = ola_hop_blocks(seg, carry.res_tail, hop)
     return base + res / 2.0, WaveCarry(synth=synth_carry,
-                                       res_tail=res_tail)
+                                       res_tail=res_tail,
+                                       frac_phase=frac_out)
 
 
 def init_wave_params(key: jax.Array, wd_cfg: VocoderWaveConfig,
                      dsp_cfg: DspConfig, dtype=jnp.float32):
     net = WaveDecoderNet(wd_cfg, residual_bins(dsp_cfg), dtype)
     d_in = dsp_cfg.mc_dim + dsp_cfg.num_ap_bands + 2
+    Q = wd_cfg.phase_fractional
     return net.init(key, jnp.zeros((1, 8, d_in), jnp.float32),
-                    jnp.zeros((1, 6), jnp.float32), 1, 6)
+                    jnp.zeros((1, 6), jnp.float32),
+                    jnp.zeros((1, 6), jnp.float32),
+                    jnp.zeros((1, 6), jnp.bool_),
+                    jnp.zeros((1,), jnp.float32),
+                    jnp.zeros((1,), jnp.bool_),
+                    jnp.zeros((1, Q), jnp.float32), 1, 6)

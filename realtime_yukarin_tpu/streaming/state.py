@@ -194,7 +194,9 @@ class StreamCarry(flax.struct.PyTreeNode):
             params["stage1"], jnp.asarray(mc_sil[0], dtype),
             jnp.asarray(f0_sil[0], dtype), cfg.acoustic, compute_dtype(cfg))
         mc_c_row = jnp.asarray(mc_sil[0], dtype) + res_row
-        synth0 = (WaveCarry.zeros(cfg.dsp, dtype) if vocoder_mode == "wave"
+        synth0 = (WaveCarry.zeros(cfg.dsp, dtype,
+                                  cfg.vocoder_wave.phase_fractional)
+                  if vocoder_mode == "wave"
                   else SynthCarry.zeros(cfg.dsp, dtype))
         return cls(
             wave_buf=jnp.zeros((geo.buf_samples,), dtype),

@@ -43,7 +43,18 @@ def _stft_mag(x: jnp.ndarray, fft: int, hop: int) -> jnp.ndarray:
 
 def multi_resolution_stft(pred: jnp.ndarray, target: jnp.ndarray,
                           ffts=(512, 1024, 2048)) -> jnp.ndarray:
-    """Spectral-convergence + log-magnitude L1, summed over resolutions."""
+    """Spectral-convergence + log-magnitude L1, summed over resolutions.
+
+    MAGNITUDE-only by design (ADVICE r4): the renderer's phase track is
+    reset-relative (dsp.synthesis.integrate_phase zeroes it at every
+    voicing onset), while a recording's pulse timing is arbitrary — a
+    time-domain or complex-STFT term against real audio would mostly
+    penalize that unlearnable alignment offset, not teach phase.  What
+    this objective trains is transient/inter-harmonic magnitude
+    structure; the wave decoder's phase-coherence CAPABILITY is gated
+    separately with phase-aligned time-domain targets
+    (tests/test_training.py::test_wave_decoder_learns_what_dsp_cannot,
+    ::test_wave_decoder_fractional_track_coherence)."""
     total = 0.0
     for fft in ffts:
         hop = fft // 4

@@ -47,10 +47,19 @@ class Batch(NamedTuple):
     target speaker's features on the TARGET'S OWN timeline plus the
     REAL target waveform of the same window: vocoding is same-utterance
     (no alignment needed), so the neural vocoders train against real
-    audio — phase, transients and inter-harmonic structure the DSP
+    audio — transient and inter-harmonic MAGNITUDE structure the DSP
     renderer cannot produce (VERDICT r3 missing #1; the round-3 corpus
     path rendered the vocoder target from aligned features through the
     DSP synthesizer, making the wave mode's capability unlearnable).
+    Phase per se is NOT enforced by this objective —
+    ``losses.multi_resolution_stft`` is magnitude-only by design (the
+    renderer's reset-relative phase track cannot align with a
+    recording's arbitrary pulse timing, so a sample-aligned loss would
+    mostly penalize an unlearnable offset); the wave mode's phase-
+    COHERENCE capability is gated separately with phase-aligned
+    time-domain targets (tests/test_training.py::
+    test_wave_decoder_learns_what_dsp_cannot and
+    ::test_wave_decoder_fractional_track_coherence).
     """
     f0_src: jnp.ndarray       # [B, F+1]
     mc_src: jnp.ndarray       # [B, F+1, M+1]
