@@ -175,13 +175,18 @@ def main(argv: list[str] | None = None) -> None:
                 path = save_checkpoint(args.ckpt_dir, host_state, step + 1)
                 print(f"[train] checkpoint -> {path}")
 
+    # --gan: the inference tree is the EMA generator (GanTrainState.
+    # ema_params) — the raw endpoint of adversarial training is
+    # chaotically run-to-run sensitive (see make_gan_train_step)
+    infer_tree = state.ema_params if args.gan else state.params
+
     final_params = None
     if args.finetune_converted:
         if not args.prepared_dir:
             p.error("--finetune_converted needs --prepared_dir")
         from realtime_yukarin_tpu.training.full_chain import (
             converted_pairs, finetune_vocoder_on_converted)
-        host_params = jax.tree.map(np.asarray, to_host(state.params))
+        host_params = jax.tree.map(np.asarray, to_host(infer_tree))
         if is_host0:
             pairs = converted_pairs(host_params, cfg, args.prepared_dir)
             print(f"[train] fine-tuning vocoders on {len(pairs)} converted"
@@ -194,7 +199,7 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.export_params:
         if final_params is None:
-            final_params = to_host(state.params)   # collective: all hosts
+            final_params = to_host(infer_tree)     # collective: all hosts
         if is_host0:
             save_params(final_params, args.export_params)
             print(f"[train] inference params -> {args.export_params}")

