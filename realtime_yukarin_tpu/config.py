@@ -91,7 +91,24 @@ class DspConfig:
     # prefers 2x the true period on jittery voices (measured on the
     # formant fixture: dp(tau_true)-dp(2 tau) = 0.01..0.06).
     fallback_dip_margin: float = 0.08
-    voicing_threshold: float = 0.30       # min CMND above this => unvoiced
+    # Voiced/unvoiced DECISION: min CMND above this => unvoiced.  0.45
+    # (round 5, was 0.30): the dip depth degrades ~linearly with in-band
+    # noise, and 0.30 silenced 31% of truly-voiced frames at 20 dB SNR
+    # white noise.  Measured on the formant fixture: 0.45 restores
+    # recall 0.96 at SNR 20 (0 octave errors, false voicing 0.06->0.10
+    # only under noise) while every CLEAN seed stays bit-for-bit at
+    # recall 1.00 / false 0.02 (clean voiced dips sit well under 0.30,
+    # clean unvoiced dips well above 0.45, so the decision boundary
+    # moves through empty space).  Probed 0.60/0.75: recall gains
+    # continue but reverb false-voicing and octave errors climb.
+    voicing_threshold: float = 0.45
+    # Lattice-emission confidence scale: r = clip(1 - min_dip/scale).
+    # Deliberately SEPARATE from the decision threshold and kept at the
+    # old 0.30: the Viterbi emission weighting, octave-descent margins
+    # and diplophonia behavior were all tuned against this scale, and a
+    # frame whose best dip is 0.3-0.45 should be VOICED but contribute
+    # ~zero contour-hold confidence.
+    voicing_confidence_scale: float = 0.30
     # Octave-down verification (the role of Dio/Harvest multi-candidate
     # voting, upstream:mmorise/World src/dio.cpp): a weak fundamental under
     # a strong even-harmonic stack puts the first CMND dip at HALF the true

@@ -141,7 +141,7 @@ def f0_candidates(x: jnp.ndarray, num_frames: int, cfg: DspConfig,
       emis_k = (cost_k - min_k cost_k) * reliability
 
     with oct_k = log2(lag_k / lag_min) and reliability = clip(1 -
-    min_k dip_k / voicing_threshold, 0, 1).  The RELATIVE per-octave
+    min_k dip_k / voicing_confidence_scale, 0, 1).  The RELATIVE per-octave
     penalty separates weak-fundamental from diplophonia (see
     DspConfig.f0_rel_bias); the reliability weight keeps strongly-
     aperiodic frames (onsets, breathy edges) from outvoting clean
@@ -208,7 +208,7 @@ def _candidates_from_cmnd(dp: jnp.ndarray, e0: jnp.ndarray, cfg: DspConfig
     dip = jnp.stack(dips, axis=1)
     m = jnp.min(cost, axis=1, keepdims=True)
     dmin = jnp.min(dip, axis=1, keepdims=True)
-    r = jnp.clip(1.0 - dmin / cfg.voicing_threshold, 0.0, 1.0)
+    r = jnp.clip(1.0 - dmin / cfg.voicing_confidence_scale, 0.0, 1.0)
     emis = jnp.where(cost >= 0.5 * _BIG, _BIG,
                      jnp.minimum((cost - m) * r, cfg.f0_emis_cap))
     return jnp.stack(f0s, axis=1), emis

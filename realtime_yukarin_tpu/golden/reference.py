@@ -213,7 +213,7 @@ def f0_candidates(x: np.ndarray, num_frames: int, cfg: DspConfig
         valid = cand_cost[i] < 0.5 * _BIG
         if valid.any():
             m = cand_cost[i][valid].min()
-            r = float(np.clip(1.0 - dip_best / cfg.voicing_threshold,
+            r = float(np.clip(1.0 - dip_best / cfg.voicing_confidence_scale,
                               0.0, 1.0))
             cand_cost[i] = np.where(
                 valid, np.minimum((cand_cost[i] - m) * r, cfg.f0_emis_cap),

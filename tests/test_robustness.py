@@ -93,6 +93,106 @@ def test_f0_low_gain_plus_dc(formant_case):
     _gate(cfg, 0.01 * x + 0.1, f0_true, vt, F, base)
 
 
+def _acoustic_metrics(cfg, xin, f0_true, vt, F):
+    j = np.asarray(estimate_f0(jnp.asarray(xin, jnp.float32), F, cfg))
+    recall = (j[vt] > 0).mean()
+    false_voice = (j[~vt] > 0).mean()
+    v = vt & (j > 0)
+    err = _cents(j[v], f0_true[v]) if v.any() else np.array([np.inf])
+    return recall, false_voice, err
+
+
+def test_f0_white_noise_20db(formant_case):
+    """Additive white noise at 20 dB SNR (noisy-room mic).  The round-5
+    voiced/unvoiced decision split (voicing_threshold 0.45 vs the 0.30
+    lattice confidence scale, config.py) exists for exactly this case:
+    in-band noise shallows the CMND dips ~linearly, and the old 0.30
+    decision silenced 31% of truly-voiced frames here.  Measured now:
+    recall 0.958, false voicing 0.098, p50 11.5 cents, 1 octave frame
+    (clean seeds stay recall 1.00 / false 0.02 — gated above)."""
+    cfg, x, f0_true, vt, F, _ = formant_case
+    rng = np.random.default_rng(7)
+    nz = rng.standard_normal(len(x))
+    nz *= np.sqrt((x ** 2).mean() / (nz ** 2).mean()) / 10.0
+    rec, fv, err = _acoustic_metrics(cfg, x + nz, f0_true, vt, F)
+    assert rec > 0.9, f"recall {rec:.3f}"
+    assert fv < 0.15, f"false voicing {fv:.3f}"
+    assert np.median(err) < 15.0, f"p50 {np.median(err):.1f}"
+    assert (err > 600).sum() <= 3, f"{(err > 600).sum()} octave frames"
+
+
+def test_f0_noise_floor_graceful(formant_case):
+    """Beyond the measured envelope (10 dB SNR white or pink) the tracker
+    must DEGRADE SAFELY: mute rather than hallucinate.  A voice changer
+    that goes quiet in a loud room is usable; one that emits random
+    pitched artifacts is not.  Measured: recall 0 with false voicing 0
+    and 0 octave frames at both."""
+    import scipy.signal as ss
+    cfg, x, f0_true, vt, F, _ = formant_case
+    rng = np.random.default_rng(7)
+    rms = np.sqrt((x ** 2).mean())
+    white = rng.standard_normal(len(x))
+    white *= rms / np.sqrt((white ** 2).mean()) / 10 ** 0.5
+    pink = ss.lfilter([0.049922035, -0.095993537, 0.050612699,
+                       -0.004408786],
+                      [1, -2.494956002, 2.017265875, -0.522189400],
+                      rng.standard_normal(len(x)))
+    pink *= rms / np.sqrt((pink ** 2).mean()) / 10 ** 0.5
+    for name, nz in (("white10", white), ("pink10", pink)):
+        rec, fv, err = _acoustic_metrics(cfg, x + nz, f0_true, vt, F)
+        assert fv < 0.05, f"{name}: hallucinated voicing {fv:.3f}"
+        finite = err[np.isfinite(err)]
+        assert (finite > 600).sum() == 0, f"{name}: octave artifacts"
+
+
+def test_f0_pink_noise_20db_known_weak(formant_case):
+    """KNOWN-WEAK row, pinned so both regressions AND improvements show:
+    pink noise at 20 dB SNR concentrates power in the exact band the
+    pitch evidence lives in (decimated CMND + <1 kHz spectral ACF), and
+    measured recall is only 0.280 (false voicing 0.012, i.e. the loss is
+    honest muting, not artifacts).  Closing this needs spectral
+    pre-whitening / pre-emphasis ahead of the CMND — probed as future
+    work; it reshapes every tuned dip threshold, so it is not a
+    threshold tweak.  The gate pins today's floor."""
+    import scipy.signal as ss
+    cfg, x, f0_true, vt, F, _ = formant_case
+    rng = np.random.default_rng(8)
+    pink = ss.lfilter([0.049922035, -0.095993537, 0.050612699,
+                       -0.004408786],
+                      [1, -2.494956002, 2.017265875, -0.522189400],
+                      rng.standard_normal(len(x)))
+    pink *= np.sqrt((x ** 2).mean() / (pink ** 2).mean()) / 10.0
+    rec, fv, err = _acoustic_metrics(cfg, x + pink, f0_true, vt, F)
+    assert rec > 0.15, f"recall collapsed further: {rec:.3f}"
+    assert fv < 0.05, f"false voicing {fv:.3f}"
+    assert (err[np.isfinite(err)] > 600).sum() <= 18   # measured 14
+
+
+def test_f0_reverberation(formant_case):
+    """Synthetic room reverb (direct path + exponentially decaying noise
+    tail, T60 = 0.15 s, energy-normalized).  Two caveats make these
+    gates an ENVELOPE, not a quality claim: (1) the dry-signal truth
+    labels the tail 'unvoiced', but the tail genuinely rings with
+    periodic energy, so some 'false' voicing is physically correct;
+    (2) reverb comb-filters the spectrum, and rescued frames can lock
+    to dominant harmonics (measured ratios cluster at 3-4x f0).
+    Measured: recall 0.822, false 0.171, p50 14.7 cents, 16 octave
+    frames of 167 voiced."""
+    cfg, x, f0_true, vt, F, _ = formant_case
+    fs = cfg.sample_rate
+    r = np.random.default_rng(7)
+    n = int(0.15 * fs)
+    tail = r.standard_normal(n) * np.exp(-6.9 * np.arange(n) / n)
+    rir = np.concatenate([[1.0], 0.25 * tail])
+    rir /= np.sqrt((rir ** 2).sum())
+    y = np.convolve(x, rir)[: len(x)]
+    rec, fv, err = _acoustic_metrics(cfg, y, f0_true, vt, F)
+    assert rec > 0.75, f"recall {rec:.3f}"
+    assert fv < 0.25, f"false voicing {fv:.3f}"
+    assert np.median(err) < 20.0, f"p50 {np.median(err):.1f}"
+    assert (err > 600).sum() <= 22
+
+
 def test_f0_hard_clipping(formant_case):
     """x3 drive into [-1, 1]: clipping adds odd harmonics but the
     fundamental periodicity survives; the tracker must not budge."""
